@@ -1,0 +1,183 @@
+"""STFT / ISTFT with the exact conventions the Demucs family expects.
+
+Reproduces the reference DSP layer (reference src/dsp.{hpp,cpp}) and the
+PyTorch `torch.stft/istft(normalized=True, center=True)` semantics it
+mirrors:
+
+  * periodic Hann window of FFT_WINDOW_SIZE=4096 (src/dsp.hpp:59-75)
+  * hop 1024, forward scaling 1/sqrt(4096) (src/dsp.cpp:142-147)
+  * inverse with window-sumsquare (librosa-style) normalization
+    (src/dsp.hpp:77-100, src/dsp.cpp:151-185)
+  * the Demucs `_spec`/`_ispec` bookkeeping: reflect pre-pad of
+    hop//2*3 samples, frame trim [2:2+le], 2049->2048 bin drop and the
+    inverse re-pad (reference src/model_inference.cpp:64-99,432-455).
+
+TPU-first design notes: framing is done with reshape/slice tricks (the
+hop divides the window 4x, so frames are a concat of 4 shifted
+contiguous views) rather than gathers; everything is batched over a
+leading dimension and jit-friendly with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 44100
+FFT_WINDOW_SIZE = 4096
+FFT_HOP_SIZE = 1024
+_RATIO = FFT_WINDOW_SIZE // FFT_HOP_SIZE  # 4
+
+
+@functools.lru_cache(maxsize=None)
+def hann_window(n: int = FFT_WINDOW_SIZE) -> np.ndarray:
+    """Periodic Hann window, identical to torch.hann_window(n, periodic=True)."""
+    i = np.arange(n, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * i / n))).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _window_sumsquare(n_frames: int, n: int = FFT_WINDOW_SIZE,
+                      hop: int = FFT_HOP_SIZE) -> np.ndarray:
+    """Sum of squared, hop-shifted windows (librosa window_sumsquare)."""
+    w2 = hann_window(n).astype(np.float64) ** 2
+    total = n + hop * (n_frames - 1)
+    out = np.zeros(total, dtype=np.float64)
+    for i in range(n_frames):
+        out[i * hop:i * hop + n] += w2
+    return out.astype(np.float32)
+
+
+def _frame(x: jnp.ndarray, n: int = FFT_WINDOW_SIZE,
+           hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
+    """(..., L) -> (..., n_frames, n) sliding frames; L must be a multiple of hop.
+
+    Uses the reshape/shift trick (n == 4*hop): each frame is the
+    concatenation of 4 consecutive hop-chunks, so frames = concat of 4
+    shifted views of the chunked signal. Pure slices — no gather.
+    """
+    L = x.shape[-1]
+    assert L % hop == 0, f"framed length {L} must be a multiple of hop {hop}"
+    ratio = n // hop
+    n_chunks = L // hop
+    n_frames = n_chunks - (ratio - 1)
+    xr = x.reshape(x.shape[:-1] + (n_chunks, hop))
+    parts = [
+        jax.lax.slice_in_dim(xr, i, i + n_frames, axis=xr.ndim - 2)
+        for i in range(ratio)
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _overlap_add(frames: jnp.ndarray, hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
+    """(..., n_frames, n) -> (..., n + hop*(n_frames-1)) overlap-add.
+
+    Inverse of `_frame`: split each frame into 4 hop-chunks and sum the
+    4 shifted chunk-sequences. Pure pad/add — no scatter.
+    """
+    n = frames.shape[-1]
+    n_frames = frames.shape[-2]
+    ratio = n // hop
+    out_chunks = n_frames + ratio - 1
+    fr = frames.reshape(frames.shape[:-1] + (ratio, hop))
+    out = jnp.zeros(frames.shape[:-2] + (out_chunks, hop), frames.dtype)
+    for i in range(ratio):
+        pad = [(0, 0)] * (out.ndim - 2) + [(i, out_chunks - n_frames - i), (0, 0)]
+        out = out + jnp.pad(fr[..., i, :], pad)
+    return out.reshape(out.shape[:-2] + (out_chunks * hop,))
+
+
+def stft(x: jnp.ndarray, n_fft: int = FFT_WINDOW_SIZE,
+         hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
+    """torch.stft(..., normalized=True, center=True, pad_mode='reflect').
+
+    x: (..., L) real. Returns (..., n_fft//2+1, n_frames) complex64 with
+    n_frames = L//hop + 1. L must be a multiple of hop.
+    """
+    L = x.shape[-1]
+    assert L % hop == 0, f"stft input length {L} must be a multiple of hop"
+    pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    frames = _frame(xp, n_fft, hop)
+    w = jnp.asarray(hann_window(n_fft))
+    spec = jnp.fft.rfft(frames * w, n=n_fft, axis=-1)
+    spec = spec * (1.0 / math.sqrt(n_fft))
+    # (..., n_frames, F) -> (..., F, n_frames)
+    return jnp.swapaxes(spec, -1, -2).astype(jnp.complex64)
+
+
+def istft(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
+          hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
+    """torch.istft(..., normalized=True, center=True, length=length).
+
+    z: (..., F, n_frames) complex. Returns (..., length) float32.
+    """
+    n_frames = z.shape[-1]
+    zt = jnp.swapaxes(z, -1, -2) * math.sqrt(n_fft)  # undo normalized=True
+    frames = jnp.fft.irfft(zt, n=n_fft, axis=-1)
+    w = jnp.asarray(hann_window(n_fft))
+    y = _overlap_add(frames * w, hop)
+    wss = jnp.asarray(_window_sumsquare(n_frames, n_fft, hop))
+    y = y / jnp.maximum(wss, 1e-11)
+    # center=True trim
+    y = y[..., n_fft // 2: n_fft // 2 + length]
+    return y.astype(jnp.float32)
+
+
+def spec(x: jnp.ndarray, n_fft: int = FFT_WINDOW_SIZE,
+         hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
+    """Demucs `_spec`: (..., L) -> (..., n_fft//2, ceil(L/hop)) complex.
+
+    Reflect-pads by hop//2*3 on the left and enough on the right that the
+    kept frame count equals ceil(L/hop); drops 2 frames on each side and
+    the top frequency bin (reference src/model_inference.cpp:64-99).
+    """
+    L = x.shape[-1]
+    le = -(-L // hop)  # ceil
+    pad = hop // 2 * 3
+    pad_right = pad + le * hop - L
+    padw = [(0, 0)] * (x.ndim - 1) + [(pad, pad_right)]
+    xp = jnp.pad(x, padw, mode="reflect")
+    z = stft(xp, n_fft, hop)  # (..., F=2049, le+4+1)? -> le+4... see below
+    # padded length = L + pad + pad_right = (le+3)*hop => frames = le+4
+    z = z[..., :-1, 2:2 + le]  # drop last bin, trim 2 frames each side
+    return z
+
+
+def ispec(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
+          hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
+    """Demucs `_ispec`: inverse of `spec`, producing exactly `length` samples.
+
+    Zero-pads the dropped top bin and the 2+2 trimmed frames back, runs
+    ISTFT over the padded span and crops the hop//2*3 pre-pad
+    (reference src/model_inference.cpp:432-455).
+    """
+    pad = hop // 2 * 3
+    le = hop * (-(-length // hop)) + 2 * pad
+    zp = jnp.pad(z, [(0, 0)] * (z.ndim - 2) + [(0, 1), (2, 2)])
+    x = istft(zp, le, n_fft, hop)
+    return x[..., pad:pad + length]
+
+
+def cac_pack(z: jnp.ndarray) -> jnp.ndarray:
+    """Complex-as-channels: (..., C, F, T) complex -> (..., 2C, F, T) real.
+
+    Channel order [re_c0, im_c0, re_c1, im_c1] per reference
+    src/model_inference.cpp:88-99.
+    """
+    re = jnp.real(z)
+    im = jnp.imag(z)
+    stacked = jnp.stack([re, im], axis=-3)  # (..., C, 2, F, T)
+    shape = z.shape[:-3] + (z.shape[-3] * 2,) + z.shape[-2:]
+    return stacked.reshape(shape)
+
+
+def cac_unpack(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of cac_pack: (..., 2C, F, T) real -> (..., C, F, T) complex."""
+    shape = x.shape[:-3] + (x.shape[-3] // 2, 2) + x.shape[-2:]
+    xs = x.reshape(shape)
+    return jax.lax.complex(xs[..., 0, :, :], xs[..., 1, :, :])

@@ -1,0 +1,169 @@
+"""DSP parity tests: our STFT/ISTFT vs torch.stft/istft and round-trips.
+
+Mirrors the reference's tier-1 DSP tests (reference test/test_dsp.cpp)
+but with hard numeric asserts against the PyTorch ground truth the
+reference itself was validated against.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from demucs_tpu import dsp
+
+
+def _rand_audio(rng, channels=2, seconds=1.5, sr=44100):
+    n = int(seconds * sr)
+    n -= n % dsp.FFT_HOP_SIZE  # torch.stft parity tests use hop-multiple len
+    return (rng.standard_normal((channels, n)) * 0.3).astype(np.float32)
+
+
+def test_hann_window_matches_torch():
+    ours = dsp.hann_window(4096)
+    theirs = torch.hann_window(4096, periodic=True).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_stft_matches_torch():
+    rng = np.random.default_rng(0)
+    x = _rand_audio(rng)
+    ours = np.asarray(dsp.stft(jnp.asarray(x)))
+    theirs = torch.stft(
+        torch.from_numpy(x),
+        n_fft=4096,
+        hop_length=1024,
+        window=torch.hann_window(4096, periodic=True),
+        normalized=True,
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    ).numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def test_istft_matches_torch():
+    rng = np.random.default_rng(1)
+    x = _rand_audio(rng)
+    z = torch.stft(
+        torch.from_numpy(x),
+        n_fft=4096,
+        hop_length=1024,
+        window=torch.hann_window(4096, periodic=True),
+        normalized=True,
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    )
+    length = x.shape[-1]
+    theirs = torch.istft(
+        z,
+        n_fft=4096,
+        hop_length=1024,
+        window=torch.hann_window(4096, periodic=True),
+        normalized=True,
+        center=True,
+        length=length,
+    ).numpy()
+    ours = np.asarray(dsp.istft(jnp.asarray(z.numpy()), length))
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def test_stft_istft_roundtrip():
+    rng = np.random.default_rng(2)
+    x = _rand_audio(rng, seconds=2.0)
+    z = dsp.stft(jnp.asarray(x))
+    y = np.asarray(dsp.istft(z, x.shape[-1]))
+    # reference test/test_dsp.cpp uses tolerance 1e-4 for the same check
+    np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+@pytest.mark.parametrize("length", [343980, 44100, 44100 + 17])
+def test_spec_shapes(length):
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((2, length)) * 0.1).astype(np.float32)
+    z = dsp.spec(jnp.asarray(x))
+    le = -(-length // dsp.FFT_HOP_SIZE)
+    assert z.shape == (2, 2048, le)
+
+
+def test_spec_matches_torch_reference_impl():
+    """spec() vs a direct torch transcription of demucs' _spec bookkeeping."""
+    rng = np.random.default_rng(4)
+    length = 44100
+    x = (rng.standard_normal((2, length)) * 0.2).astype(np.float32)
+
+    hl, nfft = 1024, 4096
+    le = int(np.ceil(length / hl))
+    pad = hl // 2 * 3
+    xt = torch.nn.functional.pad(
+        torch.from_numpy(x)[None], (pad, pad + le * hl - length), mode="reflect"
+    )[0]
+    zt = torch.stft(
+        xt, n_fft=nfft, hop_length=hl,
+        window=torch.hann_window(nfft, periodic=True),
+        normalized=True, center=True, pad_mode="reflect", return_complex=True,
+    )
+    zt = zt[..., :-1, :]
+    zt = zt[..., 2:2 + le]
+
+    ours = np.asarray(dsp.spec(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, zt.numpy(), atol=2e-5)
+
+
+@pytest.mark.parametrize("length", [343980, 44100 + 17])
+def test_spec_ispec_roundtrip(length):
+    """Interior samples round-trip; edges are lossy by design (2+2 frames
+    and the top bin are dropped, as in demucs' _spec/_ispec)."""
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((2, length)) * 0.2).astype(np.float32)
+    z = dsp.spec(jnp.asarray(x))
+    y = np.asarray(dsp.ispec(z, length))
+    edge = 4096
+    err = np.abs(y - x)[:, edge:-edge].max()
+    # torch's own _spec/_ispec roundtrip has the same error profile
+    # (verified: ours matches the torch transcription to <3e-7); the
+    # residual comes from the dropped top bin on white noise.
+    assert err < 1e-2, err
+
+
+def test_ispec_matches_torch_reference_impl():
+    """ispec() vs a direct torch transcription of demucs' _ispec bookkeeping."""
+    rng = np.random.default_rng(7)
+    length = 44117
+    le_frames = -(-length // 1024)
+    z = (rng.standard_normal((2, 2048, le_frames)) +
+         1j * rng.standard_normal((2, 2048, le_frames))).astype(np.complex64)
+
+    hl, nfft = 1024, 4096
+    zt = torch.from_numpy(z)
+    zt = torch.nn.functional.pad(zt, (0, 0, 0, 1))  # freq 2048 -> 2049
+    zt = torch.nn.functional.pad(zt, (2, 2))        # frames +2 each side
+    pad = hl // 2 * 3
+    le = hl * int(np.ceil(length / hl)) + 2 * pad
+    xt = torch.istft(
+        zt, n_fft=nfft, hop_length=hl,
+        window=torch.hann_window(nfft, periodic=True),
+        normalized=True, center=True, length=le,
+    )
+    xt = xt[..., pad:pad + length]
+
+    ours = np.asarray(dsp.ispec(jnp.asarray(z), length))
+    np.testing.assert_allclose(ours, xt.numpy(), atol=2e-4)
+
+
+def test_cac_pack_unpack():
+    rng = np.random.default_rng(6)
+    z = (rng.standard_normal((3, 2, 16, 5)) +
+         1j * rng.standard_normal((3, 2, 16, 5))).astype(np.complex64)
+    packed = dsp.cac_pack(jnp.asarray(z))
+    assert packed.shape == (3, 4, 16, 5)
+    # channel order [re0, im0, re1, im1] (reference src/model_inference.cpp:88-99)
+    np.testing.assert_allclose(np.asarray(packed)[:, 0], z[:, 0].real)
+    np.testing.assert_allclose(np.asarray(packed)[:, 1], z[:, 0].imag)
+    np.testing.assert_allclose(np.asarray(packed)[:, 2], z[:, 1].real)
+    np.testing.assert_allclose(np.asarray(packed)[:, 3], z[:, 1].imag)
+    z2 = np.asarray(dsp.cac_unpack(packed))
+    np.testing.assert_allclose(z2, z)
