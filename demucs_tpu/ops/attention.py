@@ -1,0 +1,94 @@
+"""Multi-head attention and the Demucs transformer encoder layer.
+
+TPU-first re-design of reference src/layers.cpp:377-531
+(`common_encoder_layer`): the per-head GEMM loop becomes one batched
+einsum over (batch, heads); softmax runs in fp32. The layer implements
+both the self-attention ("MyTransformerEncoderLayer") and
+cross-attention ("CrossTransformerEncoderLayer") variants of Demucs v4:
+
+    x = x + gamma_1 * out_proj(MHA(norm1(x), norm_kv(kv)))
+    x = x + gamma_2 * linear2(gelu(linear1(norm_ff(x))))
+    x = GroupNorm1(x)          # 'norm_out', over (C, T) per batch item
+
+Weight layout follows torch.nn.MultiheadAttention: packed
+in_proj_weight (3C, C) with rows [Q; K; V].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .norms import gelu, group_norm, layer_norm
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """PyTorch nn.Linear: x @ w.T + b with w of shape (out, in)."""
+    y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
+    return y if b is None else y + b.astype(x.dtype)
+
+
+def multihead_attention(q: jnp.ndarray, kv: jnp.ndarray,
+                        in_proj_weight: jnp.ndarray,
+                        in_proj_bias: jnp.ndarray,
+                        out_proj_weight: jnp.ndarray,
+                        out_proj_bias: jnp.ndarray,
+                        num_heads: int) -> jnp.ndarray:
+    """q: (B, T, C), kv: (B, S, C) -> (B, T, C).
+
+    torch.nn.MultiheadAttention semantics (batch_first), packed QKV
+    projection, per-head scaled dot-product, fp32 softmax.
+    """
+    B, T, C = q.shape
+    S = kv.shape[1]
+    H = num_heads
+    D = C // H
+
+    wq, wk, wv = jnp.split(in_proj_weight, 3, axis=0)
+    bq, bk, bv = jnp.split(in_proj_bias, 3, axis=0)
+    Q = linear(q, wq, bq).reshape(B, T, H, D)
+    K = linear(kv, wk, bk).reshape(B, S, H, D)
+    V = linear(kv, wv, bv).reshape(B, S, H, D)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32)).astype(q.dtype)
+    logits = jnp.einsum("bthd,bshd->bhts", Q, K) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", weights, V).reshape(B, T, C)
+    return linear(out, out_proj_weight, out_proj_bias)
+
+
+def transformer_layer(x: jnp.ndarray, kv: jnp.ndarray | None, p: dict,
+                      num_heads: int = 8, eps: float = 1e-5) -> jnp.ndarray:
+    """One Demucs transformer encoder layer on (B, T, C) tokens.
+
+    `kv=None` selects the self-attention variant (param keys norm1/norm2,
+    self_attn); otherwise the cross-attention variant (norm1/norm2/norm3,
+    cross_attn). Mirrors reference src/crosstransformer.cpp:79-203 and
+    src/layers.cpp:377-531.
+    """
+    cross = kv is not None
+    attn = p["cross_attn"] if cross else p["self_attn"]
+    qn = layer_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], eps)
+    if cross:
+        kn = layer_norm(kv, p["norm2"]["weight"], p["norm2"]["bias"], eps)
+    else:
+        kn = qn
+    a = multihead_attention(
+        qn, kn,
+        attn["in_proj_weight"], attn["in_proj_bias"],
+        attn["out_proj"]["weight"], attn["out_proj"]["bias"],
+        num_heads,
+    )
+    x = x + a * p["gamma_1"]["scale"]
+
+    ff_norm = p["norm3"] if cross else p["norm2"]
+    h = layer_norm(x, ff_norm["weight"], ff_norm["bias"], eps)
+    h = linear(h, p["linear1"]["weight"], p["linear1"]["bias"])
+    h = gelu(h)
+    h = linear(h, p["linear2"]["weight"], p["linear2"]["bias"])
+    x = x + h * p["gamma_2"]["scale"]
+
+    # norm_out: GroupNorm(1, C) applied channel-first
+    xt = jnp.swapaxes(x, 1, 2)
+    xt = group_norm(xt, p["norm_out"]["weight"], p["norm_out"]["bias"], 1, eps)
+    return jnp.swapaxes(xt, 1, 2)
