@@ -1,0 +1,206 @@
+"""Demucs v3 Hybrid (hdemucs_mmi) as a pure JAX function.
+
+TPU-first re-design of reference src/model_inference.cpp:477-856 and
+src/encdec.cpp:363-863. Encoders 0-3 reuse the v4 layer shapes (with a
+dconv compression of 4); the unique parts are:
+
+  * tencoder 4: plain strided Conv1d 384->768 (src/encdec.cpp:519-530)
+  * freq encoder 4 with time-branch injection, whose DConv carries a
+    2-layer BiLSTM + LocalAttention (src/encdec.cpp:532-573,
+    src/layers.cpp:896-1113)
+  * shared encoder 5 on the merged branch (src/encdec.cpp:575-615)
+  * shared decoder 0 / freq decoder 1 / time decoder 0 with GroupNorm(4)
+    norms (src/encdec.cpp:617-726)
+  * common decoders without DConv (src/encdec.cpp:728-863)
+
+The BiLSTM runs the full sequence length (336/168 steps) like the
+reference, not the original training-time max_steps=200 framing; the
+reference validated <=0.1 dB SDR deviation for this choice
+(.github/SDR_scores.md:67-87).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import dsp, ops
+from ..config import HDemucsV3Config
+from .htdemucs import (
+    _hdec_layer_v3_common,
+    _henc_layer,
+    _std_unbiased,
+    _tenc_layer,
+)
+
+
+def _lstm_params(p3: dict) -> list[dict]:
+    """Map torch LSTM state-dict keys to ops.bilstm layer structure."""
+    layers = []
+    for i in range(2):
+        layers.append({
+            "forward": {
+                "weight_ih": p3["lstm"][f"weight_ih_l{i}"],
+                "weight_hh": p3["lstm"][f"weight_hh_l{i}"],
+                "bias_ih": p3["lstm"][f"bias_ih_l{i}"],
+                "bias_hh": p3["lstm"][f"bias_hh_l{i}"],
+            },
+            "reverse": {
+                "weight_ih": p3["lstm"][f"weight_ih_l{i}_reverse"],
+                "weight_hh": p3["lstm"][f"weight_hh_l{i}_reverse"],
+                "bias_ih": p3["lstm"][f"bias_ih_l{i}_reverse"],
+                "bias_hh": p3["lstm"][f"bias_hh_l{i}_reverse"],
+            },
+        })
+    return layers
+
+
+def dconv_lstm_attn(x: jnp.ndarray, blocks: list) -> jnp.ndarray:
+    """v3 encoder-4/5 DConv with BiLSTM + LocalAttention mid-section.
+
+    x: (B, C, T). Reference src/layers.cpp:896-1113.
+    """
+    for j, blk in enumerate(blocks):
+        dil = 2 ** j
+        y = ops.conv1d(x, blk["0"]["weight"], blk["0"]["bias"],
+                       stride=1, padding=dil, dilation=dil)
+        y = ops.group_norm(y, blk["1"]["weight"], blk["1"]["bias"], 1)
+        y = ops.gelu(y)
+
+        # BiLSTM over time with linear + skip (src/layers.cpp:928-955)
+        seq = jnp.swapaxes(y, 1, 2)  # (B, T, C)
+        h = ops.bilstm(seq, _lstm_params(blk["3"]))
+        h = ops.attention.linear(h, blk["3"]["linear"]["weight"],
+                                 blk["3"]["linear"]["bias"])
+        seq = h + seq
+        y = jnp.swapaxes(seq, 1, 2)
+
+        y = ops.local_attention(y, blk["4"])
+
+        y = ops.conv1d(y, blk["5"]["weight"], blk["5"]["bias"])
+        y = ops.group_norm(y, blk["6"]["weight"], blk["6"]["bias"], 1)
+        y = ops.glu(y, 1)
+        y = ops.layer_scale(y, blk["8"]["scale"])
+        x = x + y
+    return x
+
+
+def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
+                       cfg: HDemucsV3Config) -> jnp.ndarray:
+    """Separate one batch of segments: (B, 2, L) -> (B, S, 2, L)."""
+    B, _, L = mix.shape
+    S = cfg.num_sources
+
+    z = dsp.spec(mix, cfg.nfft)
+    x = dsp.cac_pack(z)
+
+    mean = x.mean((1, 2, 3), keepdims=True)
+    std = _std_unbiased(x, (1, 2, 3))
+    x = (x - mean) / (std + 1e-5)
+
+    xt = mix
+    meant = xt.mean((1, 2), keepdims=True)
+    stdt = _std_unbiased(xt, (1, 2))
+    xt = (xt - meant) / (stdt + 1e-5)
+
+    # --- encoders 0-3 (shared structure with v4)
+    saved, savedt, lengths = [], [], []
+    for i in range(4):
+        lengths.append(xt.shape[-1])
+        xt = _tenc_layer(xt, params["tencoder"][i])
+        x = _henc_layer(x, params["encoder"][i])
+        if i == 0:
+            emb = params["freq_emb"]["embedding"]["weight"]
+            x = x + cfg.freq_emb_scale * jnp.asarray(emb).T[None, :, :, None]
+        saved.append(x)
+        savedt.append(xt)
+
+    # --- tencoder 4: plain conv (time 1344 -> 336)
+    pad = (-xt.shape[-1]) % 4
+    xt4_len = xt.shape[-1]
+    if pad:
+        xt = jnp.pad(xt, [(0, 0), (0, 0), (0, pad)])
+    xt4 = ops.conv1d(xt, params["tencoder"][4]["conv"]["weight"],
+                     params["tencoder"][4]["conv"]["bias"], stride=4, padding=2)
+
+    # --- freq encoder 4 with time injection (freq 8 -> 1, merged branch)
+    e4 = params["encoder"][4]
+    y = ops.conv2d(x, e4["conv"]["weight"], e4["conv"]["bias"],
+                   stride=(4, 1), padding=(0, 0))        # (B, 768, 1, T)
+    y = y[:, :, 0, :] + xt4                              # inject time branch
+    y = ops.group_norm(y, e4["norm1"]["weight"], e4["norm1"]["bias"], 4)
+    y = ops.gelu(y)
+    y = dconv_lstm_attn(y, e4["dconv"]["layers"])
+    rw = jnp.asarray(e4["rewrite"]["weight"])[:, :, :, 0]  # (1536,768,1,1)->1d
+    y = ops.conv1d(y, rw, e4["rewrite"]["bias"])
+    y = ops.group_norm(y, e4["norm2"]["weight"], e4["norm2"]["bias"], 4)
+    x4 = ops.glu(y, 1)                                   # (B, 768, T)
+
+    # --- shared encoder 5 (time T -> T/2)
+    e5 = params["encoder"][5]
+    y = ops.conv1d(x4, e5["conv"]["weight"], e5["conv"]["bias"],
+                   stride=2, padding=1)
+    y = ops.group_norm(y, e5["norm1"]["weight"], e5["norm1"]["bias"], 4)
+    y = ops.gelu(y)
+    y = dconv_lstm_attn(y, e5["dconv"]["layers"])
+    y = ops.conv1d(y, e5["rewrite"]["weight"], e5["rewrite"]["bias"])
+    y = ops.group_norm(y, e5["norm2"]["weight"], e5["norm2"]["bias"], 4)
+    x5 = ops.glu(y, 1)                                   # (B, 1536, T/2)
+
+    # --- shared decoder 0 (input: zeros + skip x5) -> seeds both branches
+    d0 = params["decoder"][0]
+    y = ops.conv1d(x5, d0["rewrite"]["weight"], d0["rewrite"]["bias"], padding=1)
+    y = ops.group_norm(y, d0["norm1"]["weight"], d0["norm1"]["bias"], 4)
+    y = ops.glu(y, 1)
+    y = ops.conv_transpose1d(y, d0["conv_tr"]["weight"], d0["conv_tr"]["bias"],
+                             stride=2)
+    y = ops.group_norm(y, d0["norm2"]["weight"], d0["norm2"]["bias"], 4)
+    y = ops.gelu(y)
+    T4 = x4.shape[-1]
+    xshared = y[:, :, 1:1 + T4]                          # (B, 768, T)
+
+    # --- freq decoder 1: skip = x4, produces freq x_3 and the time seed
+    d1 = params["decoder"][1]
+    y = (xshared + x4)[:, :, None, :]                    # (B, 768, 1, T)
+    y = ops.conv2d(y, d1["rewrite"]["weight"], d1["rewrite"]["bias"],
+                   padding=(1, 1))
+    y = ops.group_norm(y, d1["norm1"]["weight"], d1["norm1"]["bias"], 4)
+    y = ops.glu(y, 1)
+    pre = y                                              # (B, 768, 1, T)
+    y = ops.conv_transpose2d(y, d1["conv_tr"]["weight"], d1["conv_tr"]["bias"],
+                             stride=(4, 1))
+    y = ops.group_norm(y, d1["norm2"]["weight"], d1["norm2"]["bias"], 4)
+    x = ops.gelu(y)                                      # (B, 384, 8, T)
+
+    # --- time decoder 0: seeded by `pre` (src/encdec.cpp:700-726)
+    td0 = params["tdecoder"][0]
+    y = pre[:, :, 0, :]
+    y = ops.conv_transpose1d(y, td0["conv_tr"]["weight"], td0["conv_tr"]["bias"],
+                             stride=4)
+    y = ops.group_norm(y, td0["norm2"]["weight"], td0["norm2"]["bias"], 4)
+    y = ops.gelu(y)
+    xt = y[:, :, 2:2 + xt4_len]                          # (B, 384, 1344)
+
+    # --- common decoders (no DConv, no norms)
+    for k in range(4):
+        last = k == 3
+        x = _hdec_layer_v3_common(x, saved[3 - k], params["decoder"][k + 2], last)
+        skipt = savedt[3 - k]
+        dt = params["tdecoder"][k + 1]
+        y = xt + skipt
+        y = ops.conv1d(y, dt["rewrite"]["weight"], dt["rewrite"]["bias"], padding=1)
+        y = ops.glu(y, 1)
+        y = ops.conv_transpose1d(y, dt["conv_tr"]["weight"], dt["conv_tr"]["bias"],
+                                 stride=4)
+        if not last:
+            y = ops.gelu(y)
+        xt = y[:, :, 2:2 + lengths[3 - k]]
+
+    # --- epilogue (same as v4)
+    x = x * std + mean
+    x = x.reshape(B, S, 4, x.shape[-2], x.shape[-1])
+    zout = dsp.cac_unpack(x)
+    wave_spec = dsp.ispec(zout, L, cfg.nfft)
+
+    xt = xt * stdt + meant
+    xt = xt.reshape(B, S, cfg.audio_channels, L)
+    return wave_spec + xt

@@ -1,0 +1,69 @@
+"""Golden tests: htdemucs v4 JAX graph vs the torch oracle.
+
+The schema-generated random state dict loads into the torch oracle with
+strict=True (validating every name and shape against real torch
+modules), then both frameworks separate the same random mix.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from demucs_tpu import params as P
+from demucs_tpu.config import HTDEMUCS_4S, HTDEMUCS_6S
+from demucs_tpu.models import htdemucs_segment
+
+import torch_ref
+
+
+SEG = 1024 * 32  # short segment for CPU-speed golden tests
+
+
+def _setup(cfg, seed=0):
+    schema = P.htdemucs_schema(cfg)
+    flat = P.init_flat(schema, seed=seed)
+    model = torch_ref.HTDemucsRef(cfg)
+    model.load_state_dict({k: torch.from_numpy(v) for k, v in flat.items()},
+                          strict=True)
+    model.eval()
+    return P.unflatten_tree(flat), model
+
+
+def test_schema_tensor_count_4s():
+    # the reference's htdemucs-4s ggml holds exactly 533 tensors
+    # (reference README.md:100)
+    assert len(P.htdemucs_schema(HTDEMUCS_4S)) == 533
+
+
+@pytest.mark.parametrize("cfg", [HTDEMUCS_4S, HTDEMUCS_6S],
+                         ids=["4s", "6s"])
+def test_htdemucs_matches_torch_oracle(cfg):
+    params, model = _setup(cfg)
+    rng = np.random.default_rng(42)
+    mix = (rng.standard_normal((1, 2, SEG)) * 0.1).astype(np.float32)
+
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(mix)).numpy()
+
+    ours = np.asarray(
+        jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))(params, jnp.asarray(mix)))
+
+    assert ours.shape == theirs.shape == (1, cfg.num_sources, 2, SEG)
+    diff = np.abs(ours - theirs).max()
+    scale = np.abs(theirs).max()
+    assert diff < 3e-4 * max(scale, 1.0), (diff, scale)
+
+
+def test_htdemucs_batched_consistency():
+    """Batch dim must not change per-item results (continuous batching)."""
+    cfg = HTDEMUCS_4S
+    params, _ = _setup(cfg, seed=1)
+    rng = np.random.default_rng(7)
+    mix = (rng.standard_normal((3, 2, SEG)) * 0.1).astype(np.float32)
+    fn = jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))
+    batched = np.asarray(fn(params, jnp.asarray(mix)))
+    single = np.asarray(fn(params, jnp.asarray(mix[1:2])))
+    np.testing.assert_allclose(batched[1:2], single, atol=2e-5)
