@@ -1,0 +1,169 @@
+"""Full-track inference orchestration: normalize / shift / split / batch /
+overlap-add.
+
+Re-design of reference src/model_apply.cpp. The reference runs segments
+sequentially through one set of buffers (src/model_apply.cpp:189) and
+offers coarse parallelism by splitting the track across std::threads
+(cli-apps/threaded_inference.hpp). Here, all segments of a track become
+one batched device call (continuous batching); the cheap overlap-add
+bookkeeping stays on the host in numpy. Multi-device data parallelism
+shards the same batch axis (see parallel/).
+
+Conventions preserved exactly (constants src/model.hpp:652-656):
+  * 7.8 s segments, 25% overlap (stride = 0.75 * segment)
+  * triangular transition weights ** TRANSITION_POWER
+  * random shift in [0, 0.5 s) with symmetric zero padding; the
+    reference pins offset=1337 samples for SDR comparisons
+    (.github/SDR_scores.md:21) — pass shift_offset=1337 for parity
+  * track-level mono-reference mean/std normalization
+    (src/model_apply.cpp:64-90)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as C
+from .utils.progress import ProgressCallback, null_progress
+
+
+@dataclasses.dataclass
+class ApplyOptions:
+    segment_samples: int = C.SEGMENT_SAMPLES
+    overlap: float = C.OVERLAP
+    transition_power: float = C.TRANSITION_POWER
+    max_shift_secs: float = C.MAX_SHIFT_SECS
+    shift_offset: int | None = None   # None => derived from seed
+    shift_seed: int = 1337
+    batch_size: int = 8               # segments per device call
+    dtype: np.dtype = np.float32
+
+
+def triangle_weight(segment: int, power: float = 1.0) -> np.ndarray:
+    """Reference split_inference weights (src/model_apply.cpp:171-179)."""
+    half = segment // 2
+    w = np.concatenate([
+        np.linspace(1, half, half, dtype=np.float64),
+        np.linspace(1, half, half, dtype=np.float64)[::-1],
+    ])
+    if segment % 2:  # odd segments: center sample gets max weight
+        w = np.concatenate([w[:half], [half], w[half:]])
+    w = w / w.max()
+    return (w ** power).astype(np.float32)
+
+
+def _segment_offsets(length: int, stride: int) -> list[int]:
+    return list(range(0, length, stride))
+
+
+def split_into_segments(audio: np.ndarray, segment: int, stride: int):
+    """(C, N) -> (num_segments, C, segment) with symmetric zero padding of
+    short tails (reference segment_inference, src/model_apply.cpp:250-288).
+
+    Returns (batch, per-segment (offset, chunk_length, left_pad)).
+    """
+    C_, N = audio.shape
+    offsets = _segment_offsets(N, stride)
+    batch = np.zeros((len(offsets), C_, segment), audio.dtype)
+    meta = []
+    for i, off in enumerate(offsets):
+        chunk = audio[:, off:off + segment]
+        clen = chunk.shape[-1]
+        total_pad = segment - clen
+        left = total_pad // 2
+        batch[i, :, left:left + clen] = chunk
+        meta.append((off, clen, left))
+    return batch, meta
+
+
+def overlap_add(chunks: np.ndarray, meta, length: int, segment: int,
+                weight: np.ndarray) -> np.ndarray:
+    """Weighted recombination (reference src/model_apply.cpp:200-246).
+
+    chunks: (num_segments, S, C, segment) — still symmetric-padded.
+    """
+    S, Cch = chunks.shape[1], chunks.shape[2]
+    out = np.zeros((S, Cch, length), np.float64)
+    sum_w = np.zeros(length, np.float64)
+    for (off, clen, left), chunk in zip(meta, chunks):
+        trimmed = chunk[:, :, left:left + clen]
+        w = weight[:clen]
+        end = min(off + clen, length)
+        n = end - off
+        out[:, :, off:end] += w[None, None, :n] * trimmed[:, :, :n]
+        sum_w[off:end] += w[:n]
+    return (out / sum_w[None, None, :]).astype(np.float32)
+
+
+class Separator:
+    """Compiled, batched track separator for one model family.
+
+    model_fn(params, mix_batch) -> (B, S, C, L); compiled once per
+    batch shape and reused across tracks (weights stay on device).
+    """
+
+    def __init__(self, model_fn: Callable, params, num_sources: int,
+                 options: ApplyOptions | None = None,
+                 donate_input: bool = True):
+        self.options = options or ApplyOptions()
+        self.num_sources = num_sources
+        self.params = jax.tree.map(jnp.asarray, params)
+        self._fn = jax.jit(model_fn)
+
+    def _run_batched(self, batch: np.ndarray,
+                     progress: ProgressCallback) -> np.ndarray:
+        bs = self.options.batch_size
+        n = batch.shape[0]
+        outs = []
+        padded_n = math.ceil(n / bs) * bs
+        if padded_n != n:
+            batch = np.concatenate(
+                [batch, np.zeros((padded_n - n,) + batch.shape[1:], batch.dtype)])
+        for i in range(0, padded_n, bs):
+            outs.append(np.asarray(self._fn(self.params,
+                                            jnp.asarray(batch[i:i + bs]))))
+            progress(min((i + bs) / padded_n, 1.0),
+                     f"segments {min(i + bs, n)}/{n}")
+        return np.concatenate(outs)[:n]
+
+    def __call__(self, audio: np.ndarray,
+                 progress: ProgressCallback = null_progress) -> np.ndarray:
+        """(C, N) float32 -> (S, C, N) float32."""
+        o = self.options
+        sr = C.SAMPLE_RATE
+        N = audio.shape[-1]
+
+        # --- track normalization (mono-reference, unbiased std)
+        ref = audio.mean(0)
+        ref_mean = ref.mean()
+        ref_std = ref.std(ddof=1)
+        normalized = (audio - ref_mean) / max(ref_std, 1e-8)
+
+        # --- shift trick
+        max_shift = int(o.max_shift_secs * sr)
+        offset = (o.shift_offset if o.shift_offset is not None
+                  else np.random.default_rng(o.shift_seed).integers(0, max_shift))
+        offset = int(offset)
+        padded = np.zeros((audio.shape[0], N + 2 * max_shift), o.dtype)
+        padded[:, max_shift:max_shift + N] = normalized
+        shifted = padded[:, offset:]  # length N + 2*max_shift - offset
+        shifted = shifted[:, :N + max_shift - offset]
+        progress(0.0, f"apply model w/ shift, offset: {offset}")
+
+        # --- split + batched inference + overlap-add
+        segment = o.segment_samples
+        stride = int((1 - o.overlap) * segment)
+        batch, meta = split_into_segments(shifted, segment, stride)
+        chunk_out = self._run_batched(batch, progress)
+        combined = overlap_add(chunk_out, meta, shifted.shape[-1], segment,
+                               triangle_weight(segment, o.transition_power))
+
+        # --- un-shift, denormalize
+        out = combined[:, :, max_shift - offset:max_shift - offset + N]
+        return out * ref_std + ref_mean

@@ -1,0 +1,70 @@
+"""Parameter handling tests: ggml roundtrip, tree flatten/unflatten."""
+
+import numpy as np
+
+import jax
+
+from demucs_tpu import params as P
+from demucs_tpu.config import HDEMUCS_V3, HTDEMUCS_4S, HTDEMUCS_6S
+
+
+def test_unflatten_dense_lists_and_sparse_dicts():
+    flat = {
+        "encoder.0.conv.weight": np.zeros(1),
+        "encoder.1.conv.weight": np.ones(1),
+        "dconv.layers.0.0.weight": np.zeros(2),
+        "dconv.layers.0.3.weight": np.ones(2),
+    }
+    tree = P.unflatten_tree(flat)
+    assert isinstance(tree["encoder"], list) and len(tree["encoder"]) == 2
+    assert isinstance(tree["dconv"]["layers"], list)
+    blk = tree["dconv"]["layers"][0]
+    assert set(blk.keys()) == {"0", "3"}  # sparse Sequential indices stay dict
+    back = P.flatten_tree(tree)
+    assert set(back) == set(flat)
+
+
+def test_ggml_roundtrip(tmp_path):
+    cfg = HTDEMUCS_6S  # smallest real schema
+    schema = P.htdemucs_schema(cfg)
+    flat = P.init_flat(schema, seed=3)
+    path = tmp_path / "ggml-model-htdemucs-6s-f16.bin"
+    P.write_ggml(path, "htdemucs_6s", flat)
+
+    kind, raw = P.load_ggml(path)
+    assert kind == "htdemucs_6s"
+    assert len(raw) == len(schema)
+    # squeezed on disk, fp16 precision
+    for name in ("encoder.0.conv.weight", "crosstransformer.norm_in.weight"):
+        np.testing.assert_allclose(
+            raw[name].reshape(schema[name]).astype(np.float32),
+            flat[name], atol=2e-3, rtol=2e-3)
+
+    cfg2, tree = P.load_model_params(path)
+    assert cfg2 == cfg
+    flat2 = P.flatten_tree(tree)
+    assert set(flat2) == set(schema)
+    for name, shape in schema.items():
+        assert flat2[name].shape == tuple(shape)
+
+
+def test_schema_counts():
+    assert len(P.htdemucs_schema(HTDEMUCS_4S)) == 533
+    # 6s drops the 8 up/downsampler tensors and shrinks dims only
+    assert len(P.htdemucs_schema(HTDEMUCS_6S)) == 525
+    v3 = P.hdemucs_v3_schema(HDEMUCS_V3)
+    # every tensor name unique and shaped
+    assert all(isinstance(v, tuple) for v in v3.values())
+
+
+def test_from_state_dict_validates():
+    cfg = HTDEMUCS_6S
+    schema = P.htdemucs_schema(cfg)
+    flat = P.init_flat(schema, seed=4)
+    bad = dict(flat)
+    bad.pop("freq_emb.embedding.weight")
+    try:
+        P.from_state_dict(bad, schema)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "missing" in str(e)
