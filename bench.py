@@ -1,0 +1,69 @@
+"""Headline benchmark: htdemucs-4s separation throughput on one chip.
+
+Metric: audio-seconds separated per wall-second (full 7.8 s segments,
+batched). Baseline: the reference's best v4 number — a 4-minute song in
+4m9.3s real (4 std::threads, 5950X; reference .github/PERFORMANCE.md:49-54)
+= 240/249.3 = 0.9627 audio-s/s. vs_baseline is the speedup over that.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent XLA cache: the 343980-sample graph takes ~4 min to compile
+# through the TPU tunnel; cached recompiles are seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from demucs_tpu import params as P
+from demucs_tpu.config import HTDEMUCS_4S, SEGMENT_SAMPLES
+from demucs_tpu.models import htdemucs_segment
+
+BASELINE_AUDIO_S_PER_S = 240.0 / 249.3  # reference v4 multi-threaded
+
+
+def main():
+    cfg = HTDEMUCS_4S
+    params = P.unflatten_tree(P.init_flat(P.htdemucs_schema(cfg)))
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    batch = 8 if on_tpu else 1
+    seg = SEGMENT_SAMPLES if on_tpu else 65536
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    rng = np.random.default_rng(0)
+    mix = jnp.asarray(rng.standard_normal((batch, 2, seg)) * 0.1, dtype)
+
+    # Reduce to a scalar on device and fetch it each step: on tunneled
+    # platforms block_until_ready() can return before execution finishes,
+    # so a host fetch is the only reliable completion fence.
+    fn = jax.jit(lambda p, m: htdemucs_segment(p, m, cfg)
+                 .astype(jnp.float32).sum())
+    float(fn(params, mix))  # compile + warm-up
+
+    iters = 3 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(fn(params, mix))
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_s = batch * seg / 44100.0
+    rate = audio_s / dt
+    print(json.dumps({
+        "metric": "htdemucs4s_audio_seconds_per_second",
+        "value": round(rate, 3),
+        "unit": "audio_s/s",
+        "vs_baseline": round(rate / BASELINE_AUDIO_S_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Mesh-sharded full-track separation.
+
+`ShardedSeparator` is the multi-chip counterpart of
+pipeline.Separator: the per-track segment batch is sharded over the
+mesh's ``dp`` axis, weights are placed per parallel/sharding.py, and
+the whole segment graph runs as one jitted SPMD program. This replaces
+the reference's coarse std::thread track-splitting
+(cli-apps/threaded_inference.hpp:29-193) — no crossfade recombination
+is needed because segmentation already happens at overlap-add
+granularity and every segment is independent.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..pipeline import ApplyOptions, Separator
+from ..utils.progress import ProgressCallback
+from .sharding import batch_pspec, param_pspecs
+
+
+def make_sharded_fn(model_fn, mesh: Mesh, params, bag_stacked: bool = False):
+    """Jit model_fn over the mesh; returns (jitted_fn, placed_params).
+
+    model_fn(params, mix(B, C, L)) -> (B, S, C, L); B must be divisible
+    by mesh dp size.
+    """
+    pspecs = param_pspecs(params, mesh, bag_stacked)
+    p_shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
+    placed = jax.tree.map(
+        lambda x, sh: jax.device_put(jnp.asarray(x), sh), params, p_shardings
+    )
+    in_sharding = NamedSharding(mesh, batch_pspec(3))
+    out_sharding = NamedSharding(mesh, batch_pspec(4))
+    fn = jax.jit(
+        model_fn,
+        in_shardings=(p_shardings, in_sharding),
+        out_shardings=out_sharding,
+    )
+    return fn, placed, in_sharding
+
+
+def make_bag_fn(model_fn_single, mesh: Mesh, stacked_params, select=None):
+    """BagOfModels over the ``bag`` mesh axis via explicit shard_map.
+
+    model_fn_single(params, mix(B, C, L)) -> (B, S, C, L); stacked_params
+    carry a leading models axis M (models/bag.py:stack_bag_params). Each
+    bag group runs its M/bag models locally; GSPMD never partitions the
+    vmapped model axis itself (its grouped-conv partitioning of vmapped
+    conv weights miscompiles on some backends — found on the CPU SPMD
+    emulator, so the explicit shard_map is also the safer design).
+    Returns (jitted_fn, placed_params, input_sharding); the jitted fn
+    maps (params, mix) -> (B, S, C, L) after per-stem selection
+    (default: models/bag.py:bag_select, the ft convention).
+    """
+    from ..models.bag import bag_select
+
+    bag = mesh.shape.get("bag", 1)
+    n_models = jax.tree.leaves(stacked_params)[0].shape[0]
+    if n_models % bag:
+        raise ValueError(f"{n_models} models not divisible by bag={bag}")
+
+    placed = jax.tree.map(
+        lambda x: jax.device_put(
+            jnp.asarray(x),
+            NamedSharding(mesh, P("bag", *(None,) * (x.ndim - 1)))),
+        stacked_params)
+    in_sharding = NamedSharding(mesh, P("dp", None, None))
+
+    def spmd(params, mix):
+        # local shapes: params (M/bag, ...), mix (B/dp, C, L)
+        return jax.vmap(lambda p: model_fn_single(p, mix))(params)
+
+    mapped = shard_map(spmd, mesh=mesh,
+                       in_specs=(P("bag"), P("dp")),
+                       out_specs=P("bag", "dp"),
+                       check_vma=False)
+
+    def full(params, mix):
+        per_model = mapped(params, mix)      # (M, B, S, C, L)
+        return (select or bag_select)(per_model)
+
+    return jax.jit(full), placed, in_sharding
+
+
+class ShardedSeparator(Separator):
+    """Separator whose segment batches are dp-sharded over a mesh.
+
+    With ``bag_stacked`` pass the *single-model* fn plus stacked params;
+    the models axis is distributed one-group-per-model via make_bag_fn.
+    """
+
+    def __init__(self, model_fn, params, num_sources: int, mesh: Mesh,
+                 options: ApplyOptions | None = None,
+                 bag_stacked: bool = False):
+        options = options or ApplyOptions()
+        dp = mesh.shape.get("dp", 1)
+        # batch must tile evenly across dp shards
+        options.batch_size = max(dp, math.ceil(options.batch_size / dp) * dp)
+        self.mesh = mesh
+        self.options = options
+        self.num_sources = num_sources
+        if bag_stacked:
+            self._fn, self.params, self._in_sharding = make_bag_fn(
+                model_fn, mesh, params)
+        else:
+            self._fn, self.params, self._in_sharding = make_sharded_fn(
+                model_fn, mesh, params)
+
+    def _run_batched(self, batch: np.ndarray,
+                     progress: ProgressCallback) -> np.ndarray:
+        bs = self.options.batch_size
+        n = batch.shape[0]
+        padded_n = math.ceil(n / bs) * bs
+        if padded_n != n:
+            batch = np.concatenate(
+                [batch, np.zeros((padded_n - n,) + batch.shape[1:], batch.dtype)])
+        outs = []
+        for i in range(0, padded_n, bs):
+            chunk = jax.device_put(batch[i:i + bs], self._in_sharding)
+            outs.append(np.asarray(self._fn(self.params, chunk)))
+            progress(min((i + bs) / padded_n, 1.0),
+                     f"segments {min(i + bs, n)}/{n}")
+        return np.concatenate(outs)[:n]

@@ -1,0 +1,126 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates that dp/tp/bag sharding is numerically transparent: the
+sharded SPMD program must produce the same separation as the
+single-device program (the reference has no distributed mode to match,
+SURVEY.md §2.3 — correctness is defined by our own unsharded graph).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from demucs_tpu import params as PR
+from demucs_tpu.config import HTDEMUCS_4S
+from demucs_tpu.models import htdemucs_segment
+from demucs_tpu.models.bag import bag_segment, stack_bag_params
+from demucs_tpu.parallel import (
+    ShardedSeparator,
+    make_bag_fn,
+    make_mesh,
+    make_sharded_fn,
+    mesh_shape_for,
+    param_pspecs,
+)
+from demucs_tpu.pipeline import ApplyOptions
+
+SEG = 8192
+
+
+def _params(cfg, seed=0):
+    return PR.unflatten_tree(PR.init_flat(PR.htdemucs_schema(cfg), seed=seed))
+
+
+def test_mesh_shape_factoring():
+    assert mesh_shape_for(8) == (1, 8, 1)
+    assert mesh_shape_for(8, tp=2) == (1, 4, 2)
+    assert mesh_shape_for(8, tp=2, bag=4) == (4, 1, 2)
+    with pytest.raises(ValueError):
+        mesh_shape_for(8, tp=3)
+
+
+def test_param_pspecs_tp_rules():
+    cfg = HTDEMUCS_4S
+    params = _params(cfg)
+    mesh = make_mesh(tp=2)
+    specs = param_pspecs(params, mesh)
+    xt = specs["crosstransformer"]
+    assert xt["layers"][0]["self_attn"]["in_proj_weight"] == P("tp", None)
+    assert xt["layers"][0]["linear1"]["weight"] == P("tp", None)
+    assert xt["layers"][0]["linear2"]["weight"] == P(None, "tp")
+    assert xt["layers"][0]["self_attn"]["out_proj"]["weight"] == P(None, "tp")
+    # conv weights stay replicated
+    assert specs["encoder"][0]["conv"]["weight"] == P()
+
+
+def test_dp_sharded_matches_unsharded():
+    cfg = HTDEMUCS_4S
+    params = _params(cfg, seed=3)
+    rng = np.random.default_rng(0)
+    mix = (rng.standard_normal((8, 2, SEG)) * 0.1).astype(np.float32)
+
+    base = np.asarray(
+        jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))(params, jnp.asarray(mix)))
+
+    mesh = make_mesh()  # dp=8
+    fn, placed, in_sh = make_sharded_fn(
+        lambda p, m: htdemucs_segment(p, m, cfg), mesh, params)
+    sharded = np.asarray(fn(placed, jax.device_put(mix, in_sh)))
+    np.testing.assert_allclose(sharded, base, atol=2e-5)
+
+
+def test_tp_sharded_matches_unsharded():
+    cfg = HTDEMUCS_4S
+    params = _params(cfg, seed=4)
+    rng = np.random.default_rng(1)
+    mix = (rng.standard_normal((2, 2, SEG)) * 0.1).astype(np.float32)
+
+    base = np.asarray(
+        jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))(params, jnp.asarray(mix)))
+
+    mesh = make_mesh(tp=4)  # dp=2, tp=4
+    fn, placed, in_sh = make_sharded_fn(
+        lambda p, m: htdemucs_segment(p, m, cfg), mesh, params)
+    sharded = np.asarray(fn(placed, jax.device_put(mix, in_sh)))
+    np.testing.assert_allclose(sharded, base, atol=2e-5)
+
+
+def test_bag_sharded_matches_unsharded():
+    cfg = HTDEMUCS_4S
+    trees = [_params(cfg, seed=s) for s in range(4)]
+    stacked = stack_bag_params(trees)
+    rng = np.random.default_rng(2)
+    mix = (rng.standard_normal((1, 2, SEG)) * 0.1).astype(np.float32)
+
+    base = np.asarray(
+        jax.jit(lambda p, m: bag_segment(p, m, cfg))(stacked, jnp.asarray(mix)))
+
+    mesh = make_mesh(bag=4)  # bag=4, dp=2
+    fn, placed, in_sh = make_bag_fn(
+        lambda p, m: htdemucs_segment(p, m, cfg), mesh, stacked)
+    # batch of 2 so the dp axis is populated too
+    mix2 = np.concatenate([mix, mix])
+    sharded = np.asarray(fn(placed, jax.device_put(mix2, in_sh)))
+    np.testing.assert_allclose(sharded[0], base[0], atol=2e-5)
+    np.testing.assert_allclose(sharded[1], base[0], atol=2e-5)
+
+
+def _identity_model(params, mix):
+    return jnp.stack([mix, mix], axis=1)
+
+
+def test_sharded_separator_identity_roundtrip():
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal((2, 30011)) * 0.3).astype(np.float32)
+    opts = ApplyOptions(segment_samples=4096, batch_size=6, shift_offset=123,
+                        max_shift_secs=0.02)
+    mesh = make_mesh()
+    sep = ShardedSeparator(_identity_model, {}, num_sources=2, mesh=mesh,
+                           options=opts)
+    assert sep.options.batch_size % 8 == 0  # rounded up to dp multiple
+    out = sep(audio)
+    assert out.shape == (2, 2, 30011)
+    np.testing.assert_allclose(out[0], audio, atol=1e-4)
