@@ -1,0 +1,153 @@
+"""Command-line driver covering all six reference binaries in one tool.
+
+Reference mapping (cli-apps/, SURVEY.md §2.2):
+  demucs.cpp.main / demucs_v3.cpp.main  -> `demucs-tpu model.bin in.wav out/`
+     (v3 selected automatically by the file's ggml magic, like the
+      reference's src/model_load.cpp:79-102)
+  demucs_ft.cpp.main                    -> `demucs-tpu --ft-dir models/ in.wav out/`
+  *_mt variants                         -> `--batch N` (+ multi-device dp
+     sharding replaces std::thread track-splitting,
+     cli-apps/threaded_inference.hpp)
+
+Output files are target_{i}_{name}.wav, matching the reference's naming
+(cli-apps/demucs.cpp:168-231).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from . import audio
+from .config import HDemucsV3Config
+from .models import bag_segment, hdemucs_v3_segment, htdemucs_segment
+from .models.bag import stack_bag_params
+from .params.ggml import load_model_params
+from .pipeline import ApplyOptions, Separator
+from .utils.progress import print_progress
+
+FT_STEMS = ("drums", "bass", "other", "vocals")
+
+
+def _segment_fn(cfg):
+    if isinstance(cfg, HDemucsV3Config):
+        return lambda p, m: hdemucs_v3_segment(p, m, cfg)
+    return lambda p, m: htdemucs_segment(p, m, cfg)
+
+
+def _find_ft_models(model_dir: Path) -> list[Path]:
+    """Locate the 4 fine-tuned files by substring, one per stem
+    (reference cli-apps/demucs_ft.cpp:136-172)."""
+    files = []
+    for stem in FT_STEMS:
+        matches = sorted(p for p in model_dir.iterdir()
+                         if f"htdemucs_ft_{stem}" in p.name)
+        if not matches:
+            raise FileNotFoundError(
+                f"no htdemucs_ft_{stem} model in {model_dir}")
+        files.append(matches[0])
+    return files
+
+
+def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
+    opts = ApplyOptions(batch_size=args.batch, shift_offset=args.offset)
+    if args.segment_samples:
+        opts.segment_samples = args.segment_samples
+        opts.max_shift_secs = min(opts.max_shift_secs,
+                                  args.segment_samples / 44100.0 / 4)
+    import jax
+    devices = jax.devices()
+    multi = len(devices) > 1 and not args.no_mesh
+
+    if args.ft_dir:
+        paths = _find_ft_models(Path(args.ft_dir))
+        cfgs_trees = [load_model_params(p) for p in paths]
+        cfg = cfgs_trees[0][0]
+        stacked = stack_bag_params([t for _, t in cfgs_trees])
+        if multi:
+            from .parallel import ShardedSeparator, make_mesh
+            bag = 4 if len(devices) % 4 == 0 else 1
+            mesh = make_mesh(tp=1, bag=bag)
+            sep = ShardedSeparator(_segment_fn(cfg), stacked, cfg.num_sources,
+                                   mesh, opts, bag_stacked=bag > 1)
+            if bag == 1:
+                sep = ShardedSeparator(
+                    lambda p, m: bag_segment(p, m, cfg), stacked,
+                    cfg.num_sources, mesh, opts)
+        else:
+            sep = Separator(lambda p, m: bag_segment(p, m, cfg), stacked,
+                            cfg.num_sources, opts)
+        return sep, cfg.sources
+
+    cfg, params = load_model_params(args.model)
+    fn = _segment_fn(cfg)
+    if multi:
+        from .parallel import ShardedSeparator, make_mesh
+        mesh = make_mesh(tp=args.tp)
+        sep = ShardedSeparator(fn, params, cfg.num_sources, mesh, opts)
+    else:
+        sep = Separator(fn, params, cfg.num_sources, opts)
+    return sep, cfg.sources
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="demucs-tpu",
+        description="TPU-native Demucs music source separation")
+    ap.add_argument("model", nargs="?",
+                    help="ggml weight file (dmc4/dmc6/dmc3 magic)")
+    ap.add_argument("input", help="input WAV (44.1 kHz)")
+    ap.add_argument("outdir", help="output directory for stem WAVs")
+    ap.add_argument("--ft-dir", help="directory with 4 htdemucs_ft_* files "
+                                     "(BagOfModels; replaces `model`)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="segments per device call")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree (multi-device)")
+    ap.add_argument("--offset", type=int, default=None,
+                    help="pin the shift-trick offset (1337 = reference "
+                         "SDR setup, .github/SDR_scores.md:21)")
+    ap.add_argument("--pcm16", action="store_true",
+                    help="write 16-bit PCM instead of float32 WAV")
+    ap.add_argument("--no-mesh", action="store_true",
+                    help="force single-device even if more are visible")
+    ap.add_argument("--segment-samples", type=int, default=None,
+                    help=argparse.SUPPRESS)  # testing: shrink the 7.8 s segment
+    args = ap.parse_args(argv)
+
+    if bool(args.model) == bool(args.ft_dir):
+        ap.error("provide exactly one of `model` or --ft-dir")
+
+    try:
+        track = audio.load_track(args.input)
+        print(f"input: {args.input} ({track.shape[1] / 44100.0:.1f} s)",
+              file=sys.stderr)
+
+        t0 = time.monotonic()
+        sep, sources = _build_separator(args)
+        print(f"model loaded in {time.monotonic() - t0:.2f} s", file=sys.stderr)
+    except (ValueError, FileNotFoundError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    t0 = time.monotonic()
+    out = sep(track, progress=print_progress)
+    dt = time.monotonic() - t0
+    print(f"separated {track.shape[1] / 44100.0:.1f} s of audio in {dt:.1f} s "
+          f"({track.shape[1] / 44100.0 / dt:.2f}x realtime)", file=sys.stderr)
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    for i, name in enumerate(sources):
+        path = outdir / f"target_{i}_{name}.wav"
+        audio.write_wav(path, np.asarray(out[i]), pcm16=args.pcm16)
+        print(f"wrote {path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+"""In-process serving API — the TPU analog of the reference's WASM port.
+
+The reference exposes two C exports to JavaScript
+(reference src_wasm/demucs.cpp:70-171): `modelInit(bytes)` loading a
+ggml blob from memory, and `modelDemixSegment(L, R, len, outs...)`
+separating one segment. Here the same contract is a Python class
+suitable for embedding in a server: weights stay resident on device,
+programs are compiled once per input length and cached, and progress
+flows through the standard ProgressCallback hook.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import HDemucsV3Config
+from .models import hdemucs_v3_segment, htdemucs_segment
+from .params.ggml import load_model_params
+from .pipeline import ApplyOptions, Separator
+from .utils.progress import ProgressCallback, null_progress
+
+
+class DemixSession:
+    """Resident separation session (reference `modelInit`,
+    src_wasm/demucs.cpp:70-84)."""
+
+    def __init__(self, model: str | Path | bytes, dtype=np.float32):
+        self.cfg, params = load_model_params(model, dtype=dtype)
+        self.params = jax.tree.map(jnp.asarray, params)
+        if isinstance(self.cfg, HDemucsV3Config):
+            self._segment_fn = lambda p, m: hdemucs_v3_segment(p, m, self.cfg)
+        else:
+            self._segment_fn = lambda p, m: htdemucs_segment(p, m, self.cfg)
+        self._jitted = jax.jit(self._segment_fn)  # one cache, keyed by shape
+
+    @property
+    def sources(self) -> tuple[str, ...]:
+        return self.cfg.sources
+
+    def demix_segment(self, left: np.ndarray, right: np.ndarray,
+                      ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """One segment, no overlap-add (reference `modelDemixSegment`,
+        src_wasm/demucs.cpp:86-171): (L,), (R,) -> {stem: (L, R)}."""
+        mix = jnp.asarray(np.stack([left, right])[None], jnp.float32)
+        out = np.asarray(self._jitted(self.params, mix))[0]  # (S, 2, N)
+        return {name: (out[i, 0], out[i, 1])
+                for i, name in enumerate(self.cfg.sources)}
+
+    def demix_track(self, audio: np.ndarray,
+                    options: ApplyOptions | None = None,
+                    progress: ProgressCallback = null_progress) -> np.ndarray:
+        """Full track with overlap-add: (2, N) -> (S, 2, N)."""
+        sep = Separator(self._segment_fn, self.params,
+                        self.cfg.num_sources, options)
+        return sep(audio, progress=progress)

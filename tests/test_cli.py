@@ -1,0 +1,94 @@
+"""CLI + audio IO tests: wav round-trips and the end-to-end driver on a
+synthesized ggml weight file (the reference's CLI contract,
+cli-apps/demucs.cpp:107-232, incl. target_{i}_{name}.wav naming)."""
+
+import numpy as np
+import pytest
+
+from demucs_tpu import audio
+from demucs_tpu import params as P
+from demucs_tpu.cli import main
+from demucs_tpu.config import HTDEMUCS_4S
+from demucs_tpu.params.ggml import write_ggml
+
+
+def test_wav_float32_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 4411)) * 0.4).astype(np.float32)
+    p = tmp_path / "t.wav"
+    audio.write_wav(p, x)
+    y, rate = audio.read_wav(p)
+    assert rate == 44100
+    np.testing.assert_array_equal(y, x)
+
+
+def test_wav_pcm16_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((2, 1000)) * 0.4).astype(np.float32)
+    p = tmp_path / "t16.wav"
+    audio.write_wav(p, x, pcm16=True)
+    y, rate = audio.read_wav(p)
+    np.testing.assert_allclose(y, np.clip(x, -1, 1), atol=1.5 / 32768)
+
+
+def test_wav_pcm24_decode(tmp_path):
+    import struct
+    vals = np.array([0.0, 0.5, -0.5, 0.999], dtype=np.float32)
+    ints = (vals * 8388608.0).astype(np.int64).clip(-8388608, 8388607)
+    payload = b"".join(struct.pack("<i", int(v))[:3] for v in ints)
+    hdr = b"".join([
+        b"RIFF", struct.pack("<I", 36 + len(payload)), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, 44100, 44100 * 3, 3, 24),
+        b"data", struct.pack("<I", len(payload)),
+    ])
+    p = tmp_path / "t24.wav"
+    p.write_bytes(hdr + payload)
+    y, rate = audio.read_wav(p)
+    np.testing.assert_allclose(y[0], vals, atol=2e-7)
+
+
+def test_load_track_mono_duplicates(tmp_path):
+    x = np.linspace(-0.5, 0.5, 2000, dtype=np.float32)[None]
+    p = tmp_path / "mono.wav"
+    audio.write_wav(p, x)
+    t = audio.load_track(p)
+    assert t.shape == (2, 2000)
+    np.testing.assert_array_equal(t[0], t[1])
+
+
+def test_load_track_rejects_wrong_rate(tmp_path):
+    p = tmp_path / "48k.wav"
+    audio.write_wav(p, np.zeros((2, 100), np.float32), rate=48000)
+    with pytest.raises(ValueError, match="44100"):
+        audio.load_track(p)
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    cfg = HTDEMUCS_4S
+    flat = P.init_flat(P.htdemucs_schema(cfg), seed=0)
+    model = tmp_path / "model.bin"
+    write_ggml(model, "htdemucs_4s", flat)
+
+    rng = np.random.default_rng(3)
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 30000)) * 0.2)
+                    .astype(np.float32))
+    outdir = tmp_path / "out"
+
+    rc = main([str(model), str(wav), str(outdir),
+               "--no-mesh", "--offset", "1337", "--batch", "4",
+               "--segment-samples", "16384"])
+    assert rc == 0
+    for i, name in enumerate(cfg.sources):
+        stem, rate = audio.read_wav(outdir / f"target_{i}_{name}.wav")
+        assert rate == 44100
+        assert stem.shape == (2, 30000)
+        assert np.isfinite(stem).all()
+
+
+def test_cli_arg_validation(tmp_path, capsys):
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, np.zeros((2, 100), np.float32))
+    with pytest.raises(SystemExit):
+        main([str(wav), str(tmp_path)])  # neither model nor --ft-dir
