@@ -59,6 +59,12 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
         opts.segment_samples = args.segment_samples
         opts.max_shift_secs = min(opts.max_shift_secs,
                                   args.segment_samples / 44100.0 / 4)
+
+    def maybe_quant(fn, tree):
+        if not args.int8:
+            return fn, tree
+        from .params.quant import quantize_int8, quantized_model_fn
+        return quantized_model_fn(fn), quantize_int8(tree)
     import jax
     devices = jax.devices()
     multi = len(devices) > 1 and not args.no_mesh
@@ -67,24 +73,36 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
         paths = _find_ft_models(Path(args.ft_dir))
         cfgs_trees = [load_model_params(p) for p in paths]
         cfg = cfgs_trees[0][0]
-        stacked = stack_bag_params([t for _, t in cfgs_trees])
+        # quantize per model (before stacking, so scales stay per-channel)
+        single_fn, trees = _segment_fn(cfg), [t for _, t in cfgs_trees]
+        if args.int8:
+            from .params.quant import quantize_int8, quantized_model_fn
+            trees = [quantize_int8(t) for t in trees]
+            single_fn = quantized_model_fn(single_fn)
+        stacked = stack_bag_params(trees)
+
+        from .models.bag import bag_select
+
+        def bag_fn(p, m):
+            import jax as _jax
+            return bag_select(_jax.vmap(lambda pi: single_fn(pi, m))(p))
+
         if multi:
             from .parallel import ShardedSeparator, make_mesh
             bag = 4 if len(devices) % 4 == 0 else 1
             mesh = make_mesh(tp=1, bag=bag)
-            sep = ShardedSeparator(_segment_fn(cfg), stacked, cfg.num_sources,
-                                   mesh, opts, bag_stacked=bag > 1)
-            if bag == 1:
-                sep = ShardedSeparator(
-                    lambda p, m: bag_segment(p, m, cfg), stacked,
-                    cfg.num_sources, mesh, opts)
+            if bag > 1:
+                sep = ShardedSeparator(single_fn, stacked, cfg.num_sources,
+                                       mesh, opts, bag_stacked=True)
+            else:
+                sep = ShardedSeparator(bag_fn, stacked, cfg.num_sources,
+                                       mesh, opts)
         else:
-            sep = Separator(lambda p, m: bag_segment(p, m, cfg), stacked,
-                            cfg.num_sources, opts)
+            sep = Separator(bag_fn, stacked, cfg.num_sources, opts)
         return sep, cfg.sources
 
     cfg, params = load_model_params(args.model)
-    fn = _segment_fn(cfg)
+    fn, params = maybe_quant(_segment_fn(cfg), params)
     if multi:
         from .parallel import ShardedSeparator, make_mesh
         mesh = make_mesh(tp=args.tp)
@@ -113,6 +131,8 @@ def main(argv=None) -> int:
                          "SDR setup, .github/SDR_scores.md:21)")
     ap.add_argument("--pcm16", action="store_true",
                     help="write 16-bit PCM instead of float32 WAV")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 quantization (per-channel scales)")
     ap.add_argument("--no-mesh", action="store_true",
                     help="force single-device even if more are visible")
     ap.add_argument("--segment-samples", type=int, default=None,

@@ -92,3 +92,50 @@ def test_cli_arg_validation(tmp_path, capsys):
     audio.write_wav(wav, np.zeros((2, 100), np.float32))
     with pytest.raises(SystemExit):
         main([str(wav), str(tmp_path)])  # neither model nor --ft-dir
+
+
+@pytest.mark.slow
+def test_cli_int8_end_to_end(tmp_path):
+    cfg = HTDEMUCS_4S
+    flat = P.init_flat(P.htdemucs_schema(cfg), seed=0)
+    model = tmp_path / "model.bin"
+    write_ggml(model, "htdemucs_4s", flat)
+    rng = np.random.default_rng(3)
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 20000)) * 0.2)
+                    .astype(np.float32))
+    out_fp = tmp_path / "out_fp"
+    out_q = tmp_path / "out_q"
+    for outdir, extra in ((out_fp, []), (out_q, ["--int8"])):
+        rc = main([str(model), str(wav), str(outdir), "--no-mesh",
+                   "--offset", "0", "--batch", "2",
+                   "--segment-samples", "16384"] + extra)
+        assert rc == 0
+    for i, name in enumerate(cfg.sources):
+        a, _ = audio.read_wav(out_fp / f"target_{i}_{name}.wav")
+        b, _ = audio.read_wav(out_q / f"target_{i}_{name}.wav")
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+        assert err < 0.1, (name, err)
+
+
+@pytest.mark.slow
+def test_cli_ft_bag_end_to_end(tmp_path):
+    cfg = HTDEMUCS_4S
+    flat = P.init_flat(P.htdemucs_schema(cfg), seed=0)
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    for stem in ("drums", "bass", "other", "vocals"):
+        write_ggml(mdir / f"ggml-model-htdemucs_ft_{stem}-f16.bin",
+                   "htdemucs_4s", flat)
+    rng = np.random.default_rng(4)
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 20000)) * 0.2)
+                    .astype(np.float32))
+    outdir = tmp_path / "out"
+    rc = main(["--ft-dir", str(mdir), str(wav), str(outdir), "--no-mesh",
+               "--offset", "0", "--batch", "2", "--segment-samples", "16384"])
+    assert rc == 0
+    for i, name in enumerate(cfg.sources):
+        stem_audio, _ = audio.read_wav(outdir / f"target_{i}_{name}.wav")
+        assert stem_audio.shape == (2, 20000)
+        assert np.isfinite(stem_audio).all()

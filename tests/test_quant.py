@@ -1,0 +1,62 @@
+"""Weight-only int8 quantization tests: size shrink, reconstruction
+accuracy, and end-to-end segment output degradation bounds."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from demucs_tpu import params as P
+from demucs_tpu.config import HTDEMUCS_4S
+from demucs_tpu.models import htdemucs_segment
+from demucs_tpu.params.quant import (
+    dequantize_tree,
+    quantize_int8,
+    quantized_bytes,
+    quantized_model_fn,
+)
+
+SEG = 16384
+
+
+def _params(seed=0):
+    return P.unflatten_tree(P.init_flat(P.htdemucs_schema(HTDEMUCS_4S),
+                                        seed=seed))
+
+
+def test_quantize_shrinks_and_reconstructs():
+    params = _params()
+    dense_bytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(params))
+    q = quantize_int8(params)
+    assert quantized_bytes(q) < 0.45 * dense_bytes  # fp32 -> ~int8 on the bulk
+
+    deq = dequantize_tree(q)
+    # per-channel symmetric int8: worst-case error is scale/2 = amax/254
+    w = np.asarray(params["crosstransformer"]["layers"][0]["linear1"]["weight"])
+    w2 = np.asarray(deq["crosstransformer"]["layers"][0]["linear1"]["weight"])
+    amax = np.abs(w).max(axis=1, keepdims=True)
+    assert (np.abs(w - w2) <= amax / 254 + 1e-8).all()
+
+
+def test_norms_and_biases_stay_dense():
+    q = quantize_int8(_params())
+    xt = q["crosstransformer"]
+    assert isinstance(xt["norm_in"]["weight"], np.ndarray)        # layer norm
+    assert isinstance(xt["layers"][0]["linear1"]["bias"], np.ndarray)
+    assert isinstance(q["freq_emb"]["embedding"]["weight"], np.ndarray)
+    assert set(xt["layers"][0]["linear1"]["weight"]) == {"q", "scale"}
+
+
+def test_int8_segment_output_close_to_fp32():
+    cfg = HTDEMUCS_4S
+    params = _params(seed=3)
+    rng = np.random.default_rng(0)
+    mix = (rng.standard_normal((1, 2, SEG)) * 0.1).astype(np.float32)
+
+    ref = np.asarray(jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))(
+        params, jnp.asarray(mix)))
+    qfn = jax.jit(quantized_model_fn(lambda p, m: htdemucs_segment(p, m, cfg)))
+    out = np.asarray(qfn(quantize_int8(params), jnp.asarray(mix)))
+
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 0.05, err  # <5% relative L2 on random-init weights
