@@ -42,17 +42,20 @@ def main():
     rng = np.random.default_rng(0)
     mix = jnp.asarray(rng.standard_normal((batch, 2, seg)) * 0.1, dtype)
 
-    # Reduce to a scalar on device and fetch it each step: on tunneled
-    # platforms block_until_ready() can return before execution finishes,
-    # so a host fetch is the only reliable completion fence.
+    # Reduce to a scalar on device; fetch only the LAST result. On the
+    # tunneled platform block_until_ready() returns early and every host
+    # fetch costs a ~37 ms roundtrip, so the honest protocol is: dispatch
+    # N in-order steps, fence once at the end, amortize.
     fn = jax.jit(lambda p, m: htdemucs_segment(p, m, cfg)
                  .astype(jnp.float32).sum())
-    float(fn(params, mix))  # compile + warm-up
+    float(fn(params, mix))  # compile + warm-up (fenced)
 
-    iters = 3 if on_tpu else 2
+    iters = 10 if on_tpu else 2
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        float(fn(params, mix))
+        out = fn(params, mix)
+    float(out)  # single completion fence
     dt = (time.perf_counter() - t0) / iters
 
     audio_s = batch * seg / 44100.0

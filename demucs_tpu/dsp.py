@@ -91,6 +91,56 @@ def _overlap_add(frames: jnp.ndarray, hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
     return out.reshape(out.shape[:-2] + (out_chunks * hop,))
 
 
+# --- DFT-as-matmul backend -------------------------------------------------
+#
+# XLA's TPU FFT is slow and HBM-heavy; a dense windowed DFT is ~180 GFLOP
+# per benchmark step, which the MXU does in ~1 ms. The Hann window and the
+# 1/sqrt(n) normalization are folded into the DFT matrices, so the matmul
+# consumes raw frames directly. f32 with HIGHEST precision (bf16x6 passes)
+# keeps ~1e-7 relative accuracy vs the FFT.
+#
+# None = auto (matmul on TPU, FFT elsewhere); True/False forces.
+USE_MATMUL_DFT: bool | None = None
+
+
+def _use_matmul() -> bool:
+    if USE_MATMUL_DFT is not None:
+        return USE_MATMUL_DFT
+    return jax.default_backend() == "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_fwd_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Windowed forward rDFT: frames(..., n) @ W -> (..., n//2+1) re/im."""
+    t = np.arange(n, dtype=np.float64)
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    ang = -2.0 * np.pi * np.outer(t, k) / n
+    w = hann_window(n).astype(np.float64) / math.sqrt(n)
+    return ((np.cos(ang) * w[:, None]).astype(np.float32),
+            (np.sin(ang) * w[:, None]).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_inv_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Windowed inverse rDFT incl. the sqrt(n) de-normalization:
+    re(..., n//2+1) @ Vr + im @ Vi -> windowed frames (..., n)."""
+    t = np.arange(n, dtype=np.float64)
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(k, t) / n
+    s = np.full(n // 2 + 1, 2.0)
+    s[0] = s[-1] = 1.0
+    w = hann_window(n).astype(np.float64)
+    scale = (s[:, None] / n) * w[None, :] * math.sqrt(n)
+    return ((np.cos(ang) * scale).astype(np.float32),
+            (-np.sin(ang) * scale).astype(np.float32))
+
+
+def _matmul(a: jnp.ndarray, b: np.ndarray) -> jnp.ndarray:
+    return jnp.dot(a.astype(jnp.float32), jnp.asarray(b),
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
 def stft(x: jnp.ndarray, n_fft: int = FFT_WINDOW_SIZE,
          hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
     """torch.stft(..., normalized=True, center=True, pad_mode='reflect').
@@ -103,9 +153,13 @@ def stft(x: jnp.ndarray, n_fft: int = FFT_WINDOW_SIZE,
     pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
     xp = jnp.pad(x, pad, mode="reflect")
     frames = _frame(xp, n_fft, hop)
-    w = jnp.asarray(hann_window(n_fft))
-    spec = jnp.fft.rfft(frames * w, n=n_fft, axis=-1)
-    spec = spec * (1.0 / math.sqrt(n_fft))
+    if _use_matmul():
+        wr, wi = _dft_fwd_mats(n_fft)
+        spec = jax.lax.complex(_matmul(frames, wr), _matmul(frames, wi))
+    else:
+        w = jnp.asarray(hann_window(n_fft))
+        spec = jnp.fft.rfft(frames * w, n=n_fft, axis=-1)
+        spec = spec * (1.0 / math.sqrt(n_fft))
     # (..., n_frames, F) -> (..., F, n_frames)
     return jnp.swapaxes(spec, -1, -2).astype(jnp.complex64)
 
@@ -117,10 +171,16 @@ def istft(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
     z: (..., F, n_frames) complex. Returns (..., length) float32.
     """
     n_frames = z.shape[-1]
-    zt = jnp.swapaxes(z, -1, -2) * math.sqrt(n_fft)  # undo normalized=True
-    frames = jnp.fft.irfft(zt, n=n_fft, axis=-1)
-    w = jnp.asarray(hann_window(n_fft))
-    y = _overlap_add(frames * w, hop)
+    if _use_matmul():
+        zt = jnp.swapaxes(z, -1, -2)
+        vr, vi = _dft_inv_mats(n_fft)
+        wframes = _matmul(jnp.real(zt), vr) + _matmul(jnp.imag(zt), vi)
+        y = _overlap_add(wframes, hop)
+    else:
+        zt = jnp.swapaxes(z, -1, -2) * math.sqrt(n_fft)  # undo normalized=True
+        frames = jnp.fft.irfft(zt, n=n_fft, axis=-1)
+        w = jnp.asarray(hann_window(n_fft))
+        y = _overlap_add(frames * w, hop)
     wss = jnp.asarray(_window_sumsquare(n_frames, n_fft, hop))
     y = y / jnp.maximum(wss, 1e-11)
     # center=True trim

@@ -89,18 +89,20 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     """Separate one batch of segments: (B, 2, L) -> (B, S, 2, L)."""
     B, _, L = mix.shape
     S = cfg.num_sources
+    # network compute dtype follows the weights; DSP + stats stay f32
+    wdtype = jnp.asarray(params["encoder"][0]["conv"]["weight"]).dtype
 
-    z = dsp.spec(mix, cfg.nfft)
+    z = dsp.spec(mix.astype(jnp.float32), cfg.nfft)
     x = dsp.cac_pack(z)
 
     mean = x.mean((1, 2, 3), keepdims=True)
     std = _std_unbiased(x, (1, 2, 3))
-    x = (x - mean) / (std + 1e-5)
+    x = ((x - mean) / (std + 1e-5)).astype(wdtype)
 
-    xt = mix
+    xt = mix.astype(jnp.float32)
     meant = xt.mean((1, 2), keepdims=True)
     stdt = _std_unbiased(xt, (1, 2))
-    xt = (xt - meant) / (stdt + 1e-5)
+    xt = ((xt - meant) / (stdt + 1e-5)).astype(wdtype)
 
     # --- encoders 0-3 (shared structure with v4)
     saved, savedt, lengths = [], [], []
@@ -195,12 +197,12 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
             y = ops.gelu(y)
         xt = y[:, :, 2:2 + lengths[3 - k]]
 
-    # --- epilogue (same as v4)
-    x = x * std + mean
+    # --- epilogue (same as v4, f32)
+    x = x.astype(jnp.float32) * std + mean
     x = x.reshape(B, S, 4, x.shape[-2], x.shape[-1])
     zout = dsp.cac_unpack(x)
     wave_spec = dsp.ispec(zout, L, cfg.nfft)
 
-    xt = xt * stdt + meant
+    xt = xt.astype(jnp.float32) * stdt + meant
     xt = xt.reshape(B, S, cfg.audio_channels, L)
     return wave_spec + xt

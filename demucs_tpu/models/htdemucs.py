@@ -185,19 +185,22 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
     """
     B, _, L = mix.shape
     S = cfg.num_sources
+    # network compute dtype follows the weights (bf16 weights -> bf16
+    # branches); DSP + normalization statistics stay f32
+    wdtype = jnp.asarray(params["encoder"][0]["conv"]["weight"]).dtype
 
     # --- spectral front-end + CaC
-    z = dsp.spec(mix, cfg.nfft)                    # (B, 2, 2048, Tf) complex
-    x = dsp.cac_pack(z)                            # (B, 4, 2048, Tf)
+    z = dsp.spec(mix.astype(jnp.float32), cfg.nfft)  # (B, 2, 2048, Tf) complex
+    x = dsp.cac_pack(z)                              # (B, 4, 2048, Tf) f32
 
     mean = x.mean((1, 2, 3), keepdims=True)
     std = _std_unbiased(x, (1, 2, 3))
-    x = (x - mean) / (std + 1e-5)
+    x = ((x - mean) / (std + 1e-5)).astype(wdtype)
 
-    xt = mix
+    xt = mix.astype(jnp.float32)
     meant = xt.mean((1, 2), keepdims=True)
     stdt = _std_unbiased(xt, (1, 2))
-    xt = (xt - meant) / (stdt + 1e-5)
+    xt = ((xt - meant) / (stdt + 1e-5)).astype(wdtype)
 
     # --- encoders (interleaved, skips saved)
     saved, savedt, lengths = [], [], []
@@ -239,12 +242,12 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
         xt = _tdec_layer(xt, savedt[cfg.depth - 1 - i], params["tdecoder"][i],
                          lengths[cfg.depth - 1 - i], last)
 
-    # --- epilogue: denorm, un-CaC, ISTFT, sum with time branch
-    x = x * std + mean                              # (B, S*4, 2048, Tf)
+    # --- epilogue: denorm, un-CaC, ISTFT, sum with time branch (f32)
+    x = x.astype(jnp.float32) * std + mean          # (B, S*4, 2048, Tf)
     x = x.reshape(B, S, 4, x.shape[-2], x.shape[-1])
     zout = dsp.cac_unpack(x)                        # (B, S, 2, 2048, Tf)
     wave_spec = dsp.ispec(zout, L, cfg.nfft)        # (B, S, 2, L)
 
-    xt = xt * stdt + meant                          # (B, S*2, L)
+    xt = xt.astype(jnp.float32) * stdt + meant      # (B, S*2, L)
     xt = xt.reshape(B, S, cfg.audio_channels, L)
     return wave_spec + xt

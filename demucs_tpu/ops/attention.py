@@ -21,6 +21,17 @@ import jax.numpy as jnp
 
 from .norms import gelu, group_norm, layer_norm
 
+# Flash-attention kernel gate: None = auto (on for TPU backends),
+# True/False forces. The pallas path never materializes the (B,H,T,S)
+# logits — the dominant HBM cost of the v4 transformer.
+USE_FLASH: bool | None = None
+
+
+def _use_flash() -> bool:
+    if USE_FLASH is not None:
+        return USE_FLASH
+    return jax.default_backend() == "tpu"
+
 
 def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.ndarray:
     """PyTorch nn.Linear: x @ w.T + b with w of shape (out, in)."""
@@ -50,10 +61,17 @@ def multihead_attention(q: jnp.ndarray, kv: jnp.ndarray,
     K = linear(kv, wk, bk).reshape(B, S, H, D)
     V = linear(kv, wv, bv).reshape(B, S, H, D)
 
-    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32)).astype(q.dtype)
-    logits = jnp.einsum("bthd,bshd->bhts", Q, K) * scale
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhts,bshd->bthd", weights, V).reshape(B, T, C)
+    if _use_flash():
+        from .pallas import flash_mha
+        out = flash_mha(Q.transpose(0, 2, 1, 3), K.transpose(0, 2, 1, 3),
+                        V.transpose(0, 2, 1, 3))
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+    else:
+        scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32)).astype(q.dtype)
+        logits = jnp.einsum("bthd,bshd->bhts", Q, K) * scale
+        weights = jax.nn.softmax(logits.astype(jnp.float32),
+                                 axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", weights, V).reshape(B, T, C)
     return linear(out, out_proj_weight, out_proj_bias)
 
 

@@ -1,0 +1,104 @@
+"""Flash (online-softmax) multi-head attention kernel.
+
+The crosstransformer's self-attention materializes (B, H, T, S) logits
+— at T=S=2688 that is the single largest HBM cost in the v4 graph
+(reference hot loop src/layers.cpp:454-482 has the same structure as a
+per-head GEMM loop). This kernel streams K/V blocks through VMEM with
+the standard running-max/running-sum rescaling, so only (T, D) tiles
+ever hit HBM.
+
+Non-causal only (Demucs attends fully); f32 accumulators; logits matmul
+in the input dtype with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, bs: int, sm_scale: float):
+    """One (batch*head, T-block) program: stream all S blocks of K/V.
+
+    q_ref: (1, BT, D), k_ref/v_ref: (1, S, D), o_ref: (1, BT, D).
+    """
+    _, bt, d = q_ref.shape
+    s_total = k_ref.shape[1]
+    n_blocks = s_total // bs
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * bs, bs), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * bs, bs), :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (BT, BS)
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)   # (BT, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)                       # (BT, BS)
+        alpha = jnp.exp(m_prev - m_new)                   # (BT, 1)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (BT, D)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((bt, d), jnp.float32)
+    m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bt, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, n_blocks, body, (acc, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _pick_block(n: int, target: int = 512) -> int:
+    """Largest divisor of n that is <= target and a multiple of 8."""
+    best = 0
+    for b in range(8, min(n, target) + 1, 8):
+        if n % b == 0:
+            best = b
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              interpret: bool = False) -> jnp.ndarray:
+    """q: (B, H, T, D), k/v: (B, H, S, D) -> (B, H, T, D).
+
+    Softmax over S with 1/sqrt(D) scaling. T and S must have a
+    divisor that is a multiple of 8 (true for all Demucs lengths).
+    """
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    bt = _pick_block(T)
+    bs = _pick_block(S)
+    if not bt or not bs:
+        raise ValueError(f"unsupported seq lens T={T}, S={S}")
+    sm_scale = 1.0 / math.sqrt(D)
+
+    qf = q.reshape(B * H, T, D)
+    kf = k.reshape(B * H, S, D)
+    vf = v.reshape(B * H, S, D)
+
+    grid = (B * H, T // bt)
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, bs=bs, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, T, D)

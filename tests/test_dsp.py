@@ -167,3 +167,24 @@ def test_cac_pack_unpack():
     np.testing.assert_allclose(np.asarray(packed)[:, 3], z[:, 1].imag)
     z2 = np.asarray(dsp.cac_unpack(packed))
     np.testing.assert_allclose(z2, z)
+
+
+def test_matmul_dft_matches_fft():
+    """The MXU DFT backend must agree with the FFT backend to fp32 noise."""
+    from demucs_tpu import dsp as D
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 2, 8192)).astype(np.float32))
+    try:
+        D.USE_MATMUL_DFT = False
+        z_fft = D.spec(x)
+        y_fft = D.ispec(z_fft, 8192)
+        D.USE_MATMUL_DFT = True
+        z_mm = D.spec(x)
+        y_mm = D.ispec(z_mm, 8192)
+    finally:
+        D.USE_MATMUL_DFT = None
+    np.testing.assert_allclose(np.asarray(z_mm.real), np.asarray(z_fft.real),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z_mm.imag), np.asarray(z_fft.imag),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_fft), atol=2e-5)

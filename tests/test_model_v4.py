@@ -67,3 +67,19 @@ def test_htdemucs_batched_consistency():
     batched = np.asarray(fn(params, jnp.asarray(mix)))
     single = np.asarray(fn(params, jnp.asarray(mix[1:2])))
     np.testing.assert_allclose(batched[1:2], single, atol=2e-5)
+
+
+def test_htdemucs_bf16_close_to_fp32():
+    """bf16 weights must run the whole network in bf16 and stay within a
+    few percent of the fp32 output (DSP + stats remain f32)."""
+    cfg = HTDEMUCS_4S
+    params, _ = _setup(cfg, seed=5)
+    rng = np.random.default_rng(9)
+    mix = (rng.standard_normal((1, 2, SEG)) * 0.1).astype(np.float32)
+    fn = jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))
+    ref = np.asarray(fn(params, jnp.asarray(mix)))
+    p16 = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    out = np.asarray(fn(p16, jnp.asarray(mix)))
+    assert out.dtype == np.float32  # epilogue promotes back
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 0.08, err

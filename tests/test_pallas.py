@@ -1,0 +1,67 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from demucs_tpu.ops.pallas.attention import flash_mha
+
+
+def _ref_attention(q, k, v):
+    d = q.shape[-1]
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k) / np.sqrt(d)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", w, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("t,s", [(256, 256), (336, 168), (2688 // 4, 1344 // 4)])
+def test_flash_mha_matches_reference(t, s):
+    rng = np.random.default_rng(0)
+    B, H, D = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, H, t, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, s, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, s, D)), jnp.float32)
+    ref = np.asarray(_ref_attention(q, k, v))
+    out = np.asarray(flash_mha(q, k, v, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_mha_extreme_logits_stable():
+    """Online softmax must survive large logit magnitudes."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 1, 64, 64)) * 30, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 1, 64, 64)) * 30, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 1, 64, 64)), jnp.float32)
+    ref = np.asarray(_ref_attention(q, k, v))
+    out = np.asarray(flash_mha(q, k, v, interpret=True))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-3)
+
+
+def test_mha_flash_flag_in_model_op():
+    """ops.multihead_attention flash path == XLA path."""
+    from demucs_tpu.ops import attention as A
+    rng = np.random.default_rng(2)
+    B, T, S, C, Hh = 2, 96, 64, 128, 8
+    q = jnp.asarray(rng.standard_normal((B, T, C)) * 0.5, jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((B, S, C)) * 0.5, jnp.float32)
+    ipw = jnp.asarray(rng.standard_normal((3 * C, C)) * 0.05, jnp.float32)
+    ipb = jnp.asarray(rng.standard_normal(3 * C) * 0.05, jnp.float32)
+    opw = jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.float32)
+    opb = jnp.asarray(rng.standard_normal(C) * 0.05, jnp.float32)
+    try:
+        A.USE_FLASH = False
+        ref = np.asarray(A.multihead_attention(q, kv, ipw, ipb, opw, opb, Hh))
+    finally:
+        A.USE_FLASH = None
+    # interpret-mode flash on CPU via the kernel directly
+    wq, wk, wv = jnp.split(ipw, 3, axis=0)
+    bq, bk, bv = jnp.split(ipb, 3, axis=0)
+    Q = A.linear(q, wq, bq).reshape(B, T, Hh, C // Hh).transpose(0, 2, 1, 3)
+    K = A.linear(kv, wk, bk).reshape(B, S, Hh, C // Hh).transpose(0, 2, 1, 3)
+    V = A.linear(kv, wv, bv).reshape(B, S, Hh, C // Hh).transpose(0, 2, 1, 3)
+    out = flash_mha(Q, K, V, interpret=True).transpose(0, 2, 1, 3).reshape(B, T, C)
+    out = np.asarray(A.linear(out, opw, opb))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
