@@ -61,6 +61,10 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
                                   args.segment_samples / 44100.0 / 4)
 
     def maybe_quant(fn, tree):
+        if args.bf16:
+            import jax as _jax
+            import jax.numpy as _jnp
+            tree = _jax.tree.map(lambda x: _jnp.asarray(x, _jnp.bfloat16), tree)
         if not args.int8:
             return fn, tree
         from .params.quant import quantize_int8, quantized_model_fn
@@ -75,6 +79,11 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
         cfg = cfgs_trees[0][0]
         # quantize per model (before stacking, so scales stay per-channel)
         single_fn, trees = _segment_fn(cfg), [t for _, t in cfgs_trees]
+        if args.bf16:
+            import jax as _jax
+            import jax.numpy as _jnp
+            trees = [_jax.tree.map(lambda x: _jnp.asarray(x, _jnp.bfloat16), t)
+                     for t in trees]
         if args.int8:
             from .params.quant import quantize_int8, quantized_model_fn
             trees = [quantize_int8(t) for t in trees]
@@ -133,6 +142,8 @@ def main(argv=None) -> int:
                     help="write 16-bit PCM instead of float32 WAV")
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 quantization (per-channel scales)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 weights/compute (DSP stays f32)")
     ap.add_argument("--no-mesh", action="store_true",
                     help="force single-device even if more are visible")
     ap.add_argument("--segment-samples", type=int, default=None,

@@ -1,0 +1,55 @@
+"""Tooling tests: pth->ggml conversion round-trip and SDR math."""
+
+import numpy as np
+import torch
+
+from demucs_tpu import audio
+from demucs_tpu.params.ggml import load_ggml
+from demucs_tpu.tools.convert_pth_to_ggml import main as convert_main
+from demucs_tpu.tools.evaluate_sdr import main as sdr_main, median_sdr
+
+
+def test_convert_pth_roundtrip(tmp_path):
+    sd = {"encoder.0.conv.weight": torch.randn(8, 4, 3, 1),
+          "encoder.0.conv.bias": torch.randn(8)}
+    ckpt = tmp_path / "c.pth"
+    torch.save({"state": sd}, ckpt)
+    out = tmp_path / "m.bin"
+    rc = convert_main([str(ckpt), str(out), "--kind", "htdemucs_4s"])
+    assert rc == 0
+    kind, tensors = load_ggml(out)
+    assert kind == "htdemucs_4s"
+    # writer squeezes (reference convert-pth-to-ggml.py squeezes too)
+    assert tensors["encoder.0.conv.weight"].shape == (8, 4, 3)
+    np.testing.assert_allclose(
+        tensors["encoder.0.conv.weight"],
+        sd["encoder.0.conv.weight"].numpy().squeeze().astype(np.float16))
+
+
+def test_median_sdr_known_values():
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((2, 44100 * 3)).astype(np.float32)
+    assert median_sdr(ref, ref) > 100  # identical -> ~inf dB
+    noisy = ref + 0.1 * rng.standard_normal(ref.shape).astype(np.float32)
+    s = median_sdr(ref, noisy)
+    assert 19 < s < 21  # SNR of 10x amplitude ratio = 20 dB
+
+
+def test_sdr_cli(tmp_path, capsys):
+    rng = np.random.default_rng(1)
+    ref_dir = tmp_path / "ref"
+    est_dir = tmp_path / "est"
+    ref_dir.mkdir(), est_dir.mkdir()
+    for stem in ("drums", "bass", "other", "vocals"):
+        x = rng.standard_normal((2, 44100 * 2)).astype(np.float32) * 0.3
+        audio.write_wav(ref_dir / f"{stem}.wav", x)
+        audio.write_wav(est_dir / f"target_0_{stem}.wav",
+                        x + 0.03 * rng.standard_normal(x.shape)
+                        .astype(np.float32))
+    rc = sdr_main([str(ref_dir), str(est_dir)])
+    assert rc == 0
+    import json
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"drums", "bass", "other", "vocals"}
+    for v in out.values():
+        assert 18 < v < 22
