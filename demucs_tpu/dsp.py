@@ -135,7 +135,16 @@ def _dft_inv_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
             (-np.sin(ang) * scale).astype(np.float32))
 
 
-def _matmul(a: jnp.ndarray, b: np.ndarray) -> jnp.ndarray:
+def _matmul(a: jnp.ndarray, b: np.ndarray,
+            fast: bool = False) -> jnp.ndarray:
+    """f32-accumulated DFT matmul. fast=True runs the operands in bf16
+    (single MXU pass, ~0.4% relative error) — only safe when the data is
+    already bf16-precision, i.e. the inverse DFT of a bf16 network's
+    output; adds ~-48 dB noise, invisible next to ~10 dB separation SDR."""
+    if fast:
+        return jnp.dot(a.astype(jnp.bfloat16),
+                       jnp.asarray(b).astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     return jnp.dot(a.astype(jnp.float32), jnp.asarray(b),
                    precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32)
@@ -165,16 +174,18 @@ def stft(x: jnp.ndarray, n_fft: int = FFT_WINDOW_SIZE,
 
 
 def istft(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
-          hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
+          hop: int = FFT_HOP_SIZE, fast: bool = False) -> jnp.ndarray:
     """torch.istft(..., normalized=True, center=True, length=length).
 
     z: (..., F, n_frames) complex. Returns (..., length) float32.
+    fast=True: bf16 inverse-DFT matmuls (see _matmul).
     """
     n_frames = z.shape[-1]
     if _use_matmul():
         zt = jnp.swapaxes(z, -1, -2)
         vr, vi = _dft_inv_mats(n_fft)
-        wframes = _matmul(jnp.real(zt), vr) + _matmul(jnp.imag(zt), vi)
+        wframes = (_matmul(jnp.real(zt), vr, fast)
+                   + _matmul(jnp.imag(zt), vi, fast))
         y = _overlap_add(wframes, hop)
     else:
         zt = jnp.swapaxes(z, -1, -2) * math.sqrt(n_fft)  # undo normalized=True
@@ -209,7 +220,7 @@ def spec(x: jnp.ndarray, n_fft: int = FFT_WINDOW_SIZE,
 
 
 def ispec(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
-          hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
+          hop: int = FFT_HOP_SIZE, fast: bool = False) -> jnp.ndarray:
     """Demucs `_ispec`: inverse of `spec`, producing exactly `length` samples.
 
     Zero-pads the dropped top bin and the 2+2 trimmed frames back, runs
@@ -219,7 +230,7 @@ def ispec(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
     pad = hop // 2 * 3
     le = hop * (-(-length // hop)) + 2 * pad
     zp = jnp.pad(z, [(0, 0)] * (z.ndim - 2) + [(0, 1), (2, 2)])
-    x = istft(zp, le, n_fft, hop)
+    x = istft(zp, le, n_fft, hop, fast)
     return x[..., pad:pad + length]
 
 

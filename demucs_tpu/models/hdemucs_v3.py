@@ -201,7 +201,7 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     x = x.astype(jnp.float32) * std + mean
     x = x.reshape(B, S, 4, x.shape[-2], x.shape[-1])
     zout = dsp.cac_unpack(x)
-    wave_spec = dsp.ispec(zout, L, cfg.nfft)
+    wave_spec = dsp.ispec(zout, L, cfg.nfft, fast=wdtype == jnp.bfloat16)
 
     xt = xt.astype(jnp.float32) * stdt + meant
     xt = xt.reshape(B, S, cfg.audio_channels, L)

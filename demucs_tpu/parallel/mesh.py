@@ -31,3 +31,33 @@ def make_mesh(devices=None, tp: int = 1, bag: int = 1) -> Mesh:
     shape = mesh_shape_for(len(devices), tp=tp, bag=bag)
     assert math.prod(shape) == len(devices)
     return Mesh(np.asarray(devices).reshape(shape), AXES)
+
+
+def make_multihost_mesh(tp: int = 1, bag: int = 1) -> Mesh:
+    """Multi-host mesh: bag/dp ride DCN (cross-host), tp stays on ICI.
+
+    Call jax.distributed.initialize() first (one process per host). Uses
+    create_hybrid_device_mesh so the tp axis maps to intra-slice links —
+    tensor-parallel all-reduces never cross hosts, while segment batches
+    and BagOfModels groups (independent, no collectives) span DCN. This
+    is the net-new distributed capability the reference lacks
+    (SURVEY.md §2.3: no MPI/NCCL/sockets — single process only).
+    """
+    from jax.experimental import mesh_utils
+
+    n = jax.device_count()
+    n_hosts = max(jax.process_count(), 1)
+    per_host = n // n_hosts
+    if tp > per_host or per_host % tp:
+        raise ValueError(f"tp={tp} must divide per-host device count {per_host}")
+    shape = mesh_shape_for(n, tp=tp, bag=bag)
+    dcn_bag = math.gcd(shape[0], n_hosts)
+    dcn_dp = n_hosts // dcn_bag
+    if n_hosts == 1:  # single host: no DCN dimension exists
+        return make_mesh(tp=tp, bag=bag)
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(shape[0] // dcn_bag, shape[1] // dcn_dp, shape[2]),
+        dcn_mesh_shape=(dcn_bag, dcn_dp, 1),
+        process_is_granule=True,
+    )
+    return Mesh(devices, AXES)

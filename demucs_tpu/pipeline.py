@@ -132,11 +132,9 @@ class Separator:
                      f"segments {min(i + bs, n)}/{n}")
         return np.concatenate(outs)[:n]
 
-    def __call__(self, audio: np.ndarray,
-                 progress: ProgressCallback = null_progress) -> np.ndarray:
-        """(C, N) float32 -> (S, C, N) float32."""
+    def _prepare(self, audio: np.ndarray, progress: ProgressCallback):
+        """normalize + shift + split one track -> (segment batch, state)."""
         o = self.options
-        sr = C.SAMPLE_RATE
         N = audio.shape[-1]
 
         # --- track normalization (mono-reference, unbiased std)
@@ -146,7 +144,7 @@ class Separator:
         normalized = (audio - ref_mean) / max(ref_std, 1e-8)
 
         # --- shift trick
-        max_shift = int(o.max_shift_secs * sr)
+        max_shift = int(o.max_shift_secs * C.SAMPLE_RATE)
         offset = (o.shift_offset if o.shift_offset is not None
                   else np.random.default_rng(o.shift_seed).integers(0, max_shift))
         offset = int(offset)
@@ -156,14 +154,47 @@ class Separator:
         shifted = shifted[:, :N + max_shift - offset]
         progress(0.0, f"apply model w/ shift, offset: {offset}")
 
-        # --- split + batched inference + overlap-add
         segment = o.segment_samples
         stride = int((1 - o.overlap) * segment)
         batch, meta = split_into_segments(shifted, segment, stride)
-        chunk_out = self._run_batched(batch, progress)
-        combined = overlap_add(chunk_out, meta, shifted.shape[-1], segment,
-                               triangle_weight(segment, o.transition_power))
+        state = (meta, shifted.shape[-1], max_shift, offset, N,
+                 ref_mean, ref_std)
+        return batch, state
 
-        # --- un-shift, denormalize
+    def _finish(self, chunk_out: np.ndarray, state) -> np.ndarray:
+        """overlap-add + un-shift + denormalize one track."""
+        o = self.options
+        meta, shifted_len, max_shift, offset, N, ref_mean, ref_std = state
+        segment = o.segment_samples
+        combined = overlap_add(chunk_out, meta, shifted_len, segment,
+                               triangle_weight(segment, o.transition_power))
         out = combined[:, :, max_shift - offset:max_shift - offset + N]
         return out * ref_std + ref_mean
+
+    def __call__(self, audio: np.ndarray,
+                 progress: ProgressCallback = null_progress) -> np.ndarray:
+        """(C, N) float32 -> (S, C, N) float32."""
+        batch, state = self._prepare(audio, progress)
+        chunk_out = self._run_batched(batch, progress)
+        return self._finish(chunk_out, state)
+
+    def separate_many(self, tracks: list[np.ndarray],
+                      progress: ProgressCallback = null_progress
+                      ) -> list[np.ndarray]:
+        """Continuous batching across tracks: every track's segments join
+        ONE global batch, so short tracks never waste device steps — the
+        multi-track analog of the reference's per-track threading
+        (cli-apps/threaded_inference.hpp), with no crossfade seams.
+        """
+        batches, states = [], []
+        for tr in tracks:
+            b, s = self._prepare(tr, null_progress)
+            batches.append(b)
+            states.append(s)
+        flat = np.concatenate(batches)
+        out = self._run_batched(flat, progress)
+        results, pos = [], 0
+        for b, s in zip(batches, states):
+            results.append(self._finish(out[pos:pos + len(b)], s))
+            pos += len(b)
+        return results

@@ -57,3 +57,13 @@ class DemixSession:
         sep = Separator(self._segment_fn, self.params,
                         self.cfg.num_sources, options)
         return sep(audio, progress=progress)
+
+    def demix_tracks(self, tracks: list[np.ndarray],
+                     options: ApplyOptions | None = None,
+                     progress: ProgressCallback = null_progress
+                     ) -> list[np.ndarray]:
+        """Continuous batching across many tracks (one global segment
+        batch; see pipeline.Separator.separate_many)."""
+        sep = Separator(self._segment_fn, self.params,
+                        self.cfg.num_sources, options)
+        return sep.separate_many(tracks, progress=progress)

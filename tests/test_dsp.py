@@ -188,3 +188,19 @@ def test_matmul_dft_matches_fft():
     np.testing.assert_allclose(np.asarray(z_mm.imag), np.asarray(z_fft.imag),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_fft), atol=2e-5)
+
+
+def test_fast_bf16_inverse_dft_tolerance():
+    """bf16 inverse DFT must stay within ~1% of the f32 path."""
+    from demucs_tpu import dsp as D
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 2, 8192)).astype(np.float32))
+    try:
+        D.USE_MATMUL_DFT = True
+        z = D.spec(x)
+        y_ref = np.asarray(D.ispec(z, 8192))
+        y_fast = np.asarray(D.ispec(z, 8192, fast=True))
+    finally:
+        D.USE_MATMUL_DFT = None
+    err = np.linalg.norm(y_fast - y_ref) / np.linalg.norm(y_ref)
+    assert err < 0.01, err

@@ -67,3 +67,22 @@ def test_separator_zero_shift():
     sep = Separator(_identity_model, params={}, num_sources=3, options=opts)
     out = sep(audio)
     np.testing.assert_allclose(out[0], audio, atol=1e-4)
+
+
+def test_separate_many_matches_single():
+    """Continuous multi-track batching == per-track results."""
+    rng = np.random.default_rng(3)
+    tracks = [
+        (rng.standard_normal((2, 15000)) * 0.3).astype(np.float32),
+        (rng.standard_normal((2, 8011)) * 0.2).astype(np.float32),
+        (rng.standard_normal((2, 22222)) * 0.4).astype(np.float32),
+    ]
+    opts = ApplyOptions(segment_samples=4096, batch_size=4, shift_offset=100,
+                        max_shift_secs=0.02)
+    sep = Separator(_identity_model, params={}, num_sources=3, options=opts)
+    singles = [sep(t) for t in tracks]
+    many = sep.separate_many(tracks)
+    assert len(many) == 3
+    for s, m, t in zip(singles, many, tracks):
+        assert m.shape == (3,) + t.shape
+        np.testing.assert_allclose(m, s, atol=1e-5)
