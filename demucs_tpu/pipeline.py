@@ -110,11 +110,15 @@ class Separator:
 
     def __init__(self, model_fn: Callable, params, num_sources: int,
                  options: ApplyOptions | None = None,
-                 donate_input: bool = True):
+                 jit: bool = True):
         self.options = options or ApplyOptions()
         self.num_sources = num_sources
-        self.params = jax.tree.map(jnp.asarray, params)
-        self._fn = jax.jit(model_fn)
+        if jit:
+            self.params = jax.tree.map(jnp.asarray, params)
+            self._fn = jax.jit(model_fn)
+        else:  # host-side model (e.g. the torch oracle, tools/torch_inference)
+            self.params = params
+            self._fn = model_fn
 
     def _run_batched(self, batch: np.ndarray,
                      progress: ProgressCallback) -> np.ndarray:

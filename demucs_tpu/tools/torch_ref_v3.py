@@ -12,7 +12,7 @@ import torch
 import torch.nn.functional as F
 from torch import nn
 
-from torch_ref import (
+from .torch_ref import (
     DConv,
     HDec,
     HEnc,
@@ -221,7 +221,7 @@ class HDemucsV3Ref(nn.Module):
             self.decoder.append(HDec(chin, chout_f, True, last, dconv=False))
             self.tdecoder.append(HDec(chin, chout_t, False, last, dconv=False))
 
-        from torch_ref import FreqEmb
+        from .torch_ref import FreqEmb
         self.freq_emb = FreqEmb(cfg.freq_bins // 4, cfg.channels)
 
     def forward(self, mix):

@@ -10,7 +10,7 @@ from demucs_tpu import params as P
 from demucs_tpu.config import HDEMUCS_V3
 from demucs_tpu.models import hdemucs_v3_segment
 
-import torch_ref_v3
+from demucs_tpu.tools import torch_ref_v3
 
 
 SEG = 1024 * 32

@@ -16,7 +16,7 @@ from demucs_tpu import params as P
 from demucs_tpu.config import HTDEMUCS_4S, HTDEMUCS_6S
 from demucs_tpu.models import htdemucs_segment
 
-import torch_ref
+from demucs_tpu.tools import torch_ref
 
 
 SEG = 1024 * 32  # short segment for CPU-speed golden tests

@@ -53,3 +53,38 @@ def test_sdr_cli(tmp_path, capsys):
     assert set(out) == {"drums", "bass", "other", "vocals"}
     for v in out.values():
         assert 18 < v < 22
+
+
+def test_torch_inference_matches_jax_cli(tmp_path):
+    """Full-pipeline parity: the torch oracle tool and the JAX CLI must
+    produce near-identical stems from the same ggml file (the reference
+    validates C++ against scripts/demucs_pytorch_inference.py the same
+    way)."""
+    from demucs_tpu import params as P
+    from demucs_tpu.cli import main as cli_main
+    from demucs_tpu.config import HTDEMUCS_4S
+    from demucs_tpu.params.ggml import write_ggml
+    from demucs_tpu.tools.torch_inference import main as torch_main
+
+    flat = P.init_flat(P.htdemucs_schema(HTDEMUCS_4S), seed=0)
+    model = tmp_path / "m.bin"
+    write_ggml(model, "htdemucs_4s", flat)
+    rng = np.random.default_rng(5)
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 20000)) * 0.2)
+                    .astype(np.float32))
+
+    args = [str(model), str(wav), None, "--offset", "0",
+            "--segment-samples", "16384"]
+    args_t = list(args)
+    args_t[2] = str(tmp_path / "out_torch")
+    assert torch_main(args_t) == 0
+    args_j = list(args)
+    args_j[2] = str(tmp_path / "out_jax")
+    assert cli_main(args_j + ["--no-mesh", "--batch", "2"]) == 0
+
+    for i, name in enumerate(HTDEMUCS_4S.sources):
+        a, _ = audio.read_wav(tmp_path / "out_torch" / f"target_{i}_{name}.wav")
+        b, _ = audio.read_wav(tmp_path / "out_jax" / f"target_{i}_{name}.wav")
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+        assert err < 1e-3, (name, err)
