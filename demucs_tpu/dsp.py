@@ -145,8 +145,10 @@ def _matmul(a: jnp.ndarray, b: np.ndarray,
         return jnp.dot(a.astype(jnp.bfloat16),
                        jnp.asarray(b).astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
+    # HIGH = 3-pass bf16 on TPU (~1e-6 relative — far below the fp16
+    # weight noise the SDR targets tolerate); exact f32 on CPU.
     return jnp.dot(a.astype(jnp.float32), jnp.asarray(b),
-                   precision=jax.lax.Precision.HIGHEST,
+                   precision=jax.lax.Precision.HIGH,
                    preferred_element_type=jnp.float32)
 
 
@@ -173,6 +175,15 @@ def stft(x: jnp.ndarray, n_fft: int = FFT_WINDOW_SIZE,
     return jnp.swapaxes(spec, -1, -2).astype(jnp.complex64)
 
 
+def _istft_epilogue(y: jnp.ndarray, n_frames: int, length: int,
+                    n_fft: int, hop: int) -> jnp.ndarray:
+    wss = jnp.asarray(_window_sumsquare(n_frames, n_fft, hop))
+    y = y / jnp.maximum(wss, 1e-11)
+    # center=True trim
+    y = y[..., n_fft // 2: n_fft // 2 + length]
+    return y.astype(jnp.float32)
+
+
 def istft(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
           hop: int = FFT_HOP_SIZE, fast: bool = False) -> jnp.ndarray:
     """torch.istft(..., normalized=True, center=True, length=length).
@@ -192,11 +203,7 @@ def istft(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
         frames = jnp.fft.irfft(zt, n=n_fft, axis=-1)
         w = jnp.asarray(hann_window(n_fft))
         y = _overlap_add(frames * w, hop)
-    wss = jnp.asarray(_window_sumsquare(n_frames, n_fft, hop))
-    y = y / jnp.maximum(wss, 1e-11)
-    # center=True trim
-    y = y[..., n_fft // 2: n_fft // 2 + length]
-    return y.astype(jnp.float32)
+    return _istft_epilogue(y, n_frames, length, n_fft, hop)
 
 
 def spec(x: jnp.ndarray, n_fft: int = FFT_WINDOW_SIZE,
@@ -232,6 +239,35 @@ def ispec(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
     zp = jnp.pad(z, [(0, 0)] * (z.ndim - 2) + [(0, 1), (2, 2)])
     x = istft(zp, le, n_fft, hop, fast)
     return x[..., pad:pad + length]
+
+
+def ispec_cac(x: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
+              hop: int = FFT_HOP_SIZE, fast: bool = False) -> jnp.ndarray:
+    """Fused cac_unpack + ispec on the matmul-DFT path.
+
+    x: (..., 2C, F, T) real CaC ([re0, im0, re1, im1] channel order) —
+    goes straight to re/im inverse-DFT matmuls without ever building a
+    complex array, skipping three full-size materializations of the
+    decoded spectrum. Falls back to cac_unpack+ispec off the matmul path.
+    """
+    if not _use_matmul():
+        return ispec(cac_unpack(x.astype(jnp.float32)), length, n_fft, hop, fast)
+    shape = x.shape[:-3] + (x.shape[-3] // 2, 2) + x.shape[-2:]
+    xs = x.reshape(shape)                         # (..., C, 2, F, T)
+    re, im = xs[..., 0, :, :], xs[..., 1, :, :]   # (..., C, F, T)
+
+    pad = hop // 2 * 3
+    le = hop * (-(-length // hop)) + 2 * pad
+    padw = [(0, 0)] * (re.ndim - 2) + [(0, 1), (2, 2)]  # top bin + 2+2 frames
+    re = jnp.swapaxes(jnp.pad(re, padw), -1, -2)  # (..., T, F)
+    im = jnp.swapaxes(jnp.pad(im, padw), -1, -2)
+    n_frames = re.shape[-2]
+
+    vr, vi = _dft_inv_mats(n_fft)
+    wframes = _matmul(re, vr, fast) + _matmul(im, vi, fast)
+    y = _overlap_add(wframes, hop)
+    y = _istft_epilogue(y, n_frames, le, n_fft, hop)
+    return y[..., pad:pad + length]
 
 
 def cac_pack(z: jnp.ndarray) -> jnp.ndarray:

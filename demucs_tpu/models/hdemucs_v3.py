@@ -197,11 +197,13 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
             y = ops.gelu(y)
         xt = y[:, :, 2:2 + lengths[3 - k]]
 
-    # --- epilogue (same as v4, f32)
+    # --- epilogue (same as v4)
+    fast = wdtype == jnp.bfloat16
     x = x.astype(jnp.float32) * std + mean
     x = x.reshape(B, S, 4, x.shape[-2], x.shape[-1])
-    zout = dsp.cac_unpack(x)
-    wave_spec = dsp.ispec(zout, L, cfg.nfft, fast=wdtype == jnp.bfloat16)
+    if fast:
+        x = x.astype(jnp.bfloat16)
+    wave_spec = dsp.ispec_cac(x, L, cfg.nfft, fast=fast)
 
     xt = xt.astype(jnp.float32) * stdt + meant
     xt = xt.reshape(B, S, cfg.audio_channels, L)

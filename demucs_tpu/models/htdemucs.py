@@ -25,7 +25,12 @@ from ..config import HTDemucsConfig
 
 
 def _fold_freq(x):
-    """(B, C, F, T) -> (B*F, C, T) for time-wise per-frequency ops."""
+    """(B, C, F, T) -> (B*F, C, T) for time-wise per-frequency ops.
+
+    (Measured: keeping the 4D layout with (1, k) convs and per-(b, f)
+    norms is numerically identical but ~16% slower end-to-end on TPU —
+    XLA lowers the folded conv1d batch better. The fold stays.)
+    """
     B, C, F, T = x.shape
     return jnp.transpose(x, (0, 2, 1, 3)).reshape(B * F, C, T), (B, F)
 
@@ -56,15 +61,21 @@ def dconv(x: jnp.ndarray, blocks: list) -> jnp.ndarray:
     return x
 
 
+def dconv_freq(x: jnp.ndarray, blocks: list) -> jnp.ndarray:
+    """dconv on the freq branch via the `(b f) c t` fold (torch/demucs
+    rearrange; see _fold_freq note on why the fold wins on TPU)."""
+    yf, bf = _fold_freq(x)
+    yf = dconv(yf, blocks)
+    return _unfold_freq(yf, bf)
+
+
 def _henc_layer(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """Freq encoder layer: conv(8,1)/(4,1) + GELU -> DConv -> 1x1 rewrite
     -> GLU (reference src/encdec.cpp:8-80)."""
     y = ops.conv2d(x, p["conv"]["weight"], p["conv"]["bias"],
                    stride=(4, 1), padding=(2, 0))
     y = ops.gelu(y)
-    yf, bf = _fold_freq(y)
-    yf = dconv(yf, p["dconv"]["layers"])
-    y = _unfold_freq(yf, bf)
+    y = dconv_freq(y, p["dconv"]["layers"])
     y = ops.conv2d(y, p["rewrite"]["weight"], p["rewrite"]["bias"])
     return ops.glu(y, 1)
 
@@ -92,9 +103,7 @@ def _hdec_layer(x: jnp.ndarray, skip: jnp.ndarray, p: dict, last: bool) -> jnp.n
     y = ops.conv2d(y, p["rewrite"]["weight"], p["rewrite"]["bias"],
                    padding=(1, 1))
     y = ops.glu(y, 1)
-    yf, bf = _fold_freq(y)
-    yf = dconv(yf, p["dconv"]["layers"])
-    y = _unfold_freq(yf, bf)
+    y = dconv_freq(y, p["dconv"]["layers"])
     y = ops.conv_transpose2d(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
                              stride=(4, 1))
     if not last:
@@ -242,14 +251,16 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
         xt = _tdec_layer(xt, savedt[cfg.depth - 1 - i], params["tdecoder"][i],
                          lengths[cfg.depth - 1 - i], last)
 
-    # --- epilogue: denorm, un-CaC, ISTFT, sum with time branch (f32)
+    # --- epilogue: denorm, un-CaC, ISTFT, sum with time branch
+    fast = wdtype == jnp.bfloat16
     x = x.astype(jnp.float32) * std + mean          # (B, S*4, 2048, Tf)
     x = x.reshape(B, S, 4, x.shape[-2], x.shape[-1])
-    zout = dsp.cac_unpack(x)                        # (B, S, 2, 2048, Tf)
-    # bf16 networks: the spectrum already carries bf16 noise, so the
-    # inverse DFT can run single-pass bf16 (adds ~-48 dB, see dsp._matmul)
-    wave_spec = dsp.ispec(zout, L, cfg.nfft,
-                          fast=wdtype == jnp.bfloat16)  # (B, S, 2, L)
+    if fast:
+        # bf16 networks: the spectrum already carries bf16 noise, so the
+        # inverse DFT runs single-pass bf16 (~-48 dB, dsp._matmul) and the
+        # padded/transposed spectra materialize at half the bytes
+        x = x.astype(jnp.bfloat16)
+    wave_spec = dsp.ispec_cac(x, L, cfg.nfft, fast=fast)  # (B, S, 2, L)
 
     xt = xt.astype(jnp.float32) * stdt + meant      # (B, S*2, L)
     xt = xt.reshape(B, S, cfg.audio_channels, L)

@@ -204,3 +204,19 @@ def test_fast_bf16_inverse_dft_tolerance():
         D.USE_MATMUL_DFT = None
     err = np.linalg.norm(y_fast - y_ref) / np.linalg.norm(y_ref)
     assert err < 0.01, err
+
+
+def test_ispec_cac_matches_unpack_path():
+    from demucs_tpu import dsp as D
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, 2, 4, 2048, 12)).astype(np.float32))
+    try:
+        D.USE_MATMUL_DFT = True
+        fused = np.asarray(D.ispec_cac(x, 8192))
+        ref = np.asarray(D.ispec(D.cac_unpack(x), 8192))
+    finally:
+        D.USE_MATMUL_DFT = None
+    np.testing.assert_allclose(fused, ref, atol=1e-5)
+    # FFT fallback path too
+    fb = np.asarray(D.ispec_cac(x, 8192))
+    np.testing.assert_allclose(fb, ref, atol=1e-4)
