@@ -65,10 +65,11 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
             import jax as _jax
             import jax.numpy as _jnp
             tree = _jax.tree.map(lambda x: _jnp.asarray(x, _jnp.bfloat16), tree)
-        if not args.int8:
+        if not (args.int8 or args.fp8):
             return fn, tree
-        from .params.quant import quantize_int8, quantized_model_fn
-        return quantized_model_fn(fn), quantize_int8(tree)
+        from .params.quant import quantize_fp8, quantize_int8, quantized_model_fn
+        quant = quantize_int8 if args.int8 else quantize_fp8
+        return quantized_model_fn(fn), quant(tree)
     import jax
     devices = jax.devices()
     multi = len(devices) > 1 and not args.no_mesh
@@ -144,6 +145,8 @@ def main(argv=None) -> int:
                     help="weight-only int8 quantization (per-channel scales)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 weights/compute (DSP stays f32)")
+    ap.add_argument("--fp8", action="store_true",
+                    help="weight-only float8 e4m3 quantization")
     ap.add_argument("--no-mesh", action="store_true",
                     help="force single-device even if more are visible")
     ap.add_argument("--segment-samples", type=int, default=None,
@@ -154,8 +157,18 @@ def main(argv=None) -> int:
         ap.error("provide exactly one of `model` or --ft-dir")
 
     try:
-        track = audio.load_track(args.input)
-        print(f"input: {args.input} ({track.shape[1] / 44100.0:.1f} s)",
+        in_path = Path(args.input)
+        if in_path.is_dir():  # batch mode: every wav, one global batch
+            files = sorted(p for p in in_path.iterdir()
+                           if p.suffix.lower() == ".wav")
+            if not files:
+                raise FileNotFoundError(f"no .wav files in {in_path}")
+            tracks = [audio.load_track(p) for p in files]
+        else:
+            files = [in_path]
+            tracks = [audio.load_track(in_path)]
+        total_s = sum(t.shape[1] for t in tracks) / 44100.0
+        print(f"input: {len(files)} track(s), {total_s:.1f} s total",
               file=sys.stderr)
 
         t0 = time.monotonic()
@@ -166,17 +179,23 @@ def main(argv=None) -> int:
         return 1
 
     t0 = time.monotonic()
-    out = sep(track, progress=print_progress)
+    if len(tracks) == 1:
+        outs = [sep(tracks[0], progress=print_progress)]
+    else:
+        # continuous batching: all tracks' segments share one device batch
+        outs = sep.separate_many(tracks, progress=print_progress)
     dt = time.monotonic() - t0
-    print(f"separated {track.shape[1] / 44100.0:.1f} s of audio in {dt:.1f} s "
-          f"({track.shape[1] / 44100.0 / dt:.2f}x realtime)", file=sys.stderr)
+    print(f"separated {total_s:.1f} s of audio in {dt:.1f} s "
+          f"({total_s / dt:.2f}x realtime)", file=sys.stderr)
 
     outdir = Path(args.outdir)
-    outdir.mkdir(parents=True, exist_ok=True)
-    for i, name in enumerate(sources):
-        path = outdir / f"target_{i}_{name}.wav"
-        audio.write_wav(path, np.asarray(out[i]), pcm16=args.pcm16)
-        print(f"wrote {path}", file=sys.stderr)
+    for f, out in zip(files, outs):
+        d = outdir if len(files) == 1 else outdir / f.stem
+        d.mkdir(parents=True, exist_ok=True)
+        for i, name in enumerate(sources):
+            path = d / f"target_{i}_{name}.wav"
+            audio.write_wav(path, np.asarray(out[i]), pcm16=args.pcm16)
+            print(f"wrote {path}", file=sys.stderr)
     return 0
 
 

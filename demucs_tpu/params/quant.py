@@ -62,6 +62,30 @@ def quantize_int8(params):
     return jax.tree.unflatten(treedef, out)
 
 
+def quantize_fp8(params):
+    """Dense pytree -> {"q": float8_e4m3, "scale"} leaves.
+
+    Per-output-channel scales map the channel amax to the e4m3 max
+    (448), keeping the format's relative precision (~2^-3..2^-4 near
+    amax, better below) — no clipping, unlike int8's uniform grid.
+    """
+    import ml_dtypes  # baked in with jax
+
+    flat, treedef, paths = _leaf_path_strings(params)
+    E4M3_MAX = 448.0
+
+    def q(leaf):
+        w = np.asarray(leaf, np.float32)
+        amax = np.abs(w).max(axis=tuple(range(1, w.ndim)), keepdims=True)
+        scale = np.maximum(amax / E4M3_MAX, 1e-12)
+        qw = (w / scale).astype(ml_dtypes.float8_e4m3fn)
+        return {"q": qw, "scale": scale.astype(np.float32)}
+
+    out = [q(leaf) if should_quantize(p, leaf) else np.asarray(leaf)
+           for (_, leaf), p in zip(flat, paths)]
+    return jax.tree.unflatten(treedef, out)
+
+
 def _is_qleaf(x) -> bool:
     return isinstance(x, dict) and set(x) == {"q", "scale"}
 

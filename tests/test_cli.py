@@ -139,3 +139,26 @@ def test_cli_ft_bag_end_to_end(tmp_path):
         stem_audio, _ = audio.read_wav(outdir / f"target_{i}_{name}.wav")
         assert stem_audio.shape == (2, 20000)
         assert np.isfinite(stem_audio).all()
+
+
+@pytest.mark.slow
+def test_cli_directory_batch_mode(tmp_path):
+    cfg = HTDEMUCS_4S
+    flat = P.init_flat(P.htdemucs_schema(cfg), seed=0)
+    model = tmp_path / "model.bin"
+    write_ggml(model, "htdemucs_4s", flat)
+    rng = np.random.default_rng(6)
+    indir = tmp_path / "tracks"
+    indir.mkdir()
+    lens = {"a": 12000, "b": 20000}
+    for name, n in lens.items():
+        audio.write_wav(indir / f"{name}.wav",
+                        (rng.standard_normal((2, n)) * 0.2).astype(np.float32))
+    outdir = tmp_path / "out"
+    rc = main([str(model), str(indir), str(outdir), "--no-mesh",
+               "--offset", "0", "--batch", "4", "--segment-samples", "16384"])
+    assert rc == 0
+    for name, n in lens.items():
+        for i, src in enumerate(cfg.sources):
+            stem, _ = audio.read_wav(outdir / name / f"target_{i}_{src}.wav")
+            assert stem.shape == (2, n)

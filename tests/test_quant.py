@@ -60,3 +60,18 @@ def test_int8_segment_output_close_to_fp32():
 
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 0.05, err  # <5% relative L2 on random-init weights
+
+
+def test_fp8_segment_output_close_to_fp32():
+    from demucs_tpu.params.quant import quantize_fp8
+    cfg = HTDEMUCS_4S
+    params = _params(seed=3)
+    rng = np.random.default_rng(0)
+    mix = (rng.standard_normal((1, 2, SEG)) * 0.1).astype(np.float32)
+
+    ref = np.asarray(jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))(
+        params, jnp.asarray(mix)))
+    qfn = jax.jit(quantized_model_fn(lambda p, m: htdemucs_segment(p, m, cfg)))
+    out = np.asarray(qfn(quantize_fp8(params), jnp.asarray(mix)))
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 0.12, err  # e4m3 is coarser than per-channel int8
