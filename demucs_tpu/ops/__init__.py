@@ -12,7 +12,6 @@ from .norms import (  # noqa: F401
     gelu,
     glu,
     group_norm,
-    group_norm_per_freq,
     layer_norm,
     layer_scale,
 )

@@ -14,34 +14,39 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _lstm_direction(x: jnp.ndarray, w_ih: jnp.ndarray, w_hh: jnp.ndarray,
-                    b_ih: jnp.ndarray, b_hh: jnp.ndarray,
-                    reverse: bool) -> jnp.ndarray:
-    """x: (B, T, IN) -> (B, T, H) for one direction."""
-    B = x.shape[0]
-    H = w_hh.shape[-1]
-    # hoisted input projection: (B, T, 4H)
-    xp = jnp.einsum("bti,gi->btg", x, w_ih.astype(x.dtype))
-    xp = xp + (b_ih + b_hh).astype(x.dtype)
-    xs = jnp.swapaxes(xp, 0, 1)  # (T, B, 4H)
-    w_hh_t = w_hh.T.astype(x.dtype)  # (H, 4H)
+def _bilstm_layer_fused(x: jnp.ndarray, layer: dict) -> jnp.ndarray:
+    """Both directions in ONE scan: the backward direction consumes the
+    time-flipped sequence, so a (2, B, H) carried state runs fwd and bwd
+    in lockstep — half the sequential-step overhead of two scans (the
+    recurrence is the latency bottleneck: ~µs of FLOPs per step)."""
+    B, T, _ = x.shape
+    H = layer["forward"]["weight_hh"].shape[-1]
+    dt = x.dtype
+
+    def proj(d):
+        p = layer[d]
+        xp = jnp.einsum("bti,gi->btg", x, p["weight_ih"].astype(dt))
+        return xp + (p["bias_ih"] + p["bias_hh"]).astype(dt)
+
+    xp_f = jnp.swapaxes(proj("forward"), 0, 1)             # (T, B, 4H)
+    xp_b = jnp.swapaxes(proj("reverse"), 0, 1)[::-1]       # flipped
+    xs = jnp.stack([xp_f, xp_b], axis=1)                   # (T, 2, B, 4H)
+    w_hh = jnp.stack([layer["forward"]["weight_hh"].T,
+                      layer["reverse"]["weight_hh"].T]).astype(dt)  # (2, H, 4H)
 
     def step(carry, xt):
-        h, c = carry
-        gates = xt + h @ w_hh_t
+        h, c = carry                                       # (2, B, H)
+        gates = xt + jnp.einsum("dbh,dhg->dbg", h, w_hh)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    h0 = jnp.zeros((B, H), x.dtype)
-    c0 = jnp.zeros((B, H), x.dtype)
-    _, ys = lax.scan(step, (h0, c0), xs, reverse=reverse)
-    return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+    init = (jnp.zeros((2, B, H), dt), jnp.zeros((2, B, H), dt))
+    _, ys = lax.scan(step, init, xs)                       # (T, 2, B, H)
+    fwd = jnp.transpose(ys[:, 0], (1, 0, 2))               # (B, T, H)
+    bwd = jnp.transpose(ys[::-1, 1], (1, 0, 2))            # un-flip
+    return jnp.concatenate([fwd, bwd], axis=-1)
 
 
 def bilstm(x: jnp.ndarray, layers: list[dict]) -> jnp.ndarray:
@@ -55,15 +60,5 @@ def bilstm(x: jnp.ndarray, layers: list[dict]) -> jnp.ndarray:
     """
     h = x
     for layer in layers:
-        fwd = _lstm_direction(
-            h, layer["forward"]["weight_ih"], layer["forward"]["weight_hh"],
-            layer["forward"]["bias_ih"], layer["forward"]["bias_hh"],
-            reverse=False,
-        )
-        bwd = _lstm_direction(
-            h, layer["reverse"]["weight_ih"], layer["reverse"]["weight_hh"],
-            layer["reverse"]["bias_ih"], layer["reverse"]["bias_hh"],
-            reverse=True,
-        )
-        h = jnp.concatenate([fwd, bwd], axis=-1)
+        h = _bilstm_layer_fused(h, layer)
     return h

@@ -55,24 +55,6 @@ def group_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     return (y * weight.reshape(shape) + bias.reshape(shape)).astype(x.dtype)
 
 
-def group_norm_per_freq(x: jnp.ndarray, weight: jnp.ndarray,
-                        bias: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm(1, C) applied per (batch, frequency) on (B, C, F, T).
-
-    Layout-preserving equivalent of folding F into the batch and running
-    GroupNorm(1) on (B*F, C, T) — the torch/demucs `(b f) c t` rearrange
-    the freq-branch DConv uses (reference src/layers.cpp:9-49 normalizes
-    per dim-0 slice the same way). Keeping the 4D layout avoids two full
-    transposes of the level tensor per DConv.
-    """
-    xf = x.astype(jnp.float32)
-    mean = xf.mean((1, 3), keepdims=True)                 # per (B, F)
-    var = jnp.square(xf - mean).mean((1, 3), keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    shape = (1, x.shape[1], 1, 1)
-    return (y * weight.reshape(shape) + bias.reshape(shape)).astype(x.dtype)
-
-
 def layer_scale(x: jnp.ndarray, scale: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     """Per-channel scalar multiply (reference src/layers.hpp:65-74)."""
     shape = [1] * x.ndim

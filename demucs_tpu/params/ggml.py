@@ -31,23 +31,35 @@ MAGIC_BY_NAME = {v: k for k, v in GGML_MAGICS.items()}
 
 
 def _load_ggml_numpy(data: bytes) -> tuple[str, dict[str, np.ndarray]]:
+    if len(data) < 4:
+        raise ValueError("truncated ggml file (no magic)")
     (magic,) = struct.unpack_from("<i", data, 0)
     if magic not in GGML_MAGICS:
         raise ValueError(f"bad ggml magic 0x{magic:08x}")
     offset = 4
     tensors: dict[str, np.ndarray] = {}
     n = len(data)
-    while offset < n:
-        n_dims, name_len = struct.unpack_from("<ii", data, offset)
-        offset += 8
-        ne = struct.unpack_from(f"<{n_dims}i", data, offset)
-        offset += 4 * n_dims
-        name = data[offset:offset + name_len].decode("utf-8")
-        offset += name_len
-        count = int(np.prod(ne)) if n_dims else 1
-        arr = np.frombuffer(data, dtype=np.float16, count=count, offset=offset)
-        offset += 2 * count
-        tensors[name] = arr.reshape(ne)
+    try:
+        while offset < n:
+            n_dims, name_len = struct.unpack_from("<ii", data, offset)
+            offset += 8
+            if not (0 <= n_dims <= 8) or not (0 <= name_len <= 4096):
+                raise ValueError(f"corrupt ggml record at offset {offset - 8}")
+            ne = struct.unpack_from(f"<{n_dims}i", data, offset)
+            offset += 4 * n_dims
+            name = data[offset:offset + name_len].decode("utf-8")
+            offset += name_len
+            count = int(np.prod(ne)) if n_dims else 1
+            arr = np.frombuffer(data, dtype=np.float16, count=count,
+                                offset=offset)
+            offset += 2 * count
+            tensors[name] = arr.reshape(ne)
+    except (struct.error, ValueError) as e:
+        if isinstance(e, ValueError) and "ggml" in str(e):
+            raise
+        raise ValueError(
+            f"truncated ggml file at offset {offset} "
+            f"({len(tensors)} tensors read)") from e
     return GGML_MAGICS[magic], tensors
 
 

@@ -68,3 +68,19 @@ def test_from_state_dict_validates():
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "missing" in str(e)
+
+
+def test_truncated_ggml_clean_errors(tmp_path):
+    import pytest
+    from demucs_tpu.params import ggml as G
+    p = tmp_path / "m.bin"
+    G.write_ggml(p, "htdemucs_4s", {"a.w": np.ones((4, 4), np.float16)})
+    data = p.read_bytes()
+    for cut in (2, 7, 15, len(data) - 3):
+        with pytest.raises(ValueError, match="ggml"):
+            G._load_ggml_numpy(data[:cut])
+    # native parser rejects the same inputs
+    from demucs_tpu.params import native_ggml
+    for cut in (7, 15, len(data) - 3):
+        with pytest.raises(ValueError, match="magic|ggml"):
+            native_ggml.load(data[:cut])
