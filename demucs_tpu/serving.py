@@ -58,6 +58,34 @@ class DemixSession:
                         self.cfg.num_sources, options)
         return sep(audio, progress=progress)
 
+    def export_program(self, batch_size: int = 8,
+                       segment_samples: int | None = None) -> bytes:
+        """AOT-export the segment graph as serialized StableHLO.
+
+        The portable-artifact analog of the reference's WASM build
+        (src_wasm/): the returned bytes deserialize and run on any JAX
+        runtime with the same model params — no Python model code needed
+        at the destination. See load_exported().
+        """
+        from jax import export as jexport
+
+        from .config import SEGMENT_SAMPLES
+
+        seg = segment_samples or SEGMENT_SAMPLES
+        p_abs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
+        mix_abs = jax.ShapeDtypeStruct((batch_size, 2, seg), jnp.float32)
+        exported = jexport.export(jax.jit(self._segment_fn))(p_abs, mix_abs)
+        return bytes(exported.serialize())
+
+    @staticmethod
+    def load_exported(blob: bytes):
+        """Deserialize an export_program() artifact -> callable
+        (params, mix) -> stems."""
+        from jax import export as jexport
+
+        return jexport.deserialize(blob).call
+
     def demix_tracks(self, tracks: list[np.ndarray],
                      options: ApplyOptions | None = None,
                      progress: ProgressCallback = null_progress

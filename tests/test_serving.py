@@ -39,3 +39,17 @@ def test_session_demix_track(tmp_path):
                                                shift_offset=0))
     assert out.shape == (4, 2, 24000)
     assert np.isfinite(out).all()
+
+
+def test_export_program_roundtrip(tmp_path):
+    """AOT StableHLO export must reproduce the live graph's output."""
+    sess = DemixSession(_model_bytes(tmp_path))
+    blob = sess.export_program(batch_size=1, segment_samples=16384)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    fn = DemixSession.load_exported(blob)
+    rng = np.random.default_rng(2)
+    mix = (rng.standard_normal((1, 2, 16384)) * 0.2).astype(np.float32)
+    out = np.asarray(fn(sess.params, mix))
+    import jax
+    ref = np.asarray(jax.jit(sess._segment_fn)(sess.params, mix))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
