@@ -93,8 +93,9 @@ def write_wav(path: str | Path, audio: np.ndarray, rate: int = SAMPLE_RATE,
     # IEEE float32 WAV (stdlib wave can't write format tag 3)
     payload = inter.tobytes()
     block = channels * 4
+    # RIFF content size: "WAVE"(4) + fmt(8+18) + fact(8+4) + data hdr(8) + payload
     hdr = b"".join([
-        b"RIFF", struct.pack("<I", 4 + 26 + 12 + len(payload)), b"WAVE",
+        b"RIFF", struct.pack("<I", 4 + 26 + 12 + 8 + len(payload)), b"WAVE",
         b"fmt ", struct.pack("<IHHIIHH", 18, 3, channels, rate,
                              rate * block, block, 32), b"\x00\x00",
         b"fact", struct.pack("<II", 4, n),

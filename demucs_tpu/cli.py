@@ -61,15 +61,21 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
                                   args.segment_samples / 44100.0 / 4)
 
     def maybe_quant(fn, tree):
+        """Apply --bf16 / --int8 / --fp8 to one (fn, tree) pair. bf16 +
+        quant composes: dequantization targets bf16 so the network and
+        the fast inverse-DFT path actually run in bf16."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        dtype = _jnp.bfloat16 if args.bf16 else _jnp.float32
+        if args.int8 or args.fp8:
+            from .params.quant import (quantize_fp8, quantize_int8,
+                                       quantized_model_fn)
+            quant = quantize_int8 if args.int8 else quantize_fp8
+            return quantized_model_fn(fn, dtype=dtype), quant(tree)
         if args.bf16:
-            import jax as _jax
-            import jax.numpy as _jnp
-            tree = _jax.tree.map(lambda x: _jnp.asarray(x, _jnp.bfloat16), tree)
-        if not (args.int8 or args.fp8):
-            return fn, tree
-        from .params.quant import quantize_fp8, quantize_int8, quantized_model_fn
-        quant = quantize_int8 if args.int8 else quantize_fp8
-        return quantized_model_fn(fn), quant(tree)
+            tree = _jax.tree.map(lambda x: _jnp.asarray(x, dtype), tree)
+        return fn, tree
     import jax
     devices = jax.devices()
     multi = len(devices) > 1 and not args.no_mesh
@@ -79,16 +85,11 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
         cfgs_trees = [load_model_params(p) for p in paths]
         cfg = cfgs_trees[0][0]
         # quantize per model (before stacking, so scales stay per-channel)
-        single_fn, trees = _segment_fn(cfg), [t for _, t in cfgs_trees]
-        if args.bf16:
-            import jax as _jax
-            import jax.numpy as _jnp
-            trees = [_jax.tree.map(lambda x: _jnp.asarray(x, _jnp.bfloat16), t)
-                     for t in trees]
-        if args.int8:
-            from .params.quant import quantize_int8, quantized_model_fn
-            trees = [quantize_int8(t) for t in trees]
-            single_fn = quantized_model_fn(single_fn)
+        single_fn = _segment_fn(cfg)
+        trees = []
+        for _, t in cfgs_trees:
+            fn_i, t_i = maybe_quant(_segment_fn(cfg), t)
+            single_fn, trees = fn_i, trees + [t_i]
         stacked = stack_bag_params(trees)
 
         from .models.bag import bag_select
@@ -99,8 +100,8 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
 
         if multi:
             from .parallel import ShardedSeparator, make_mesh
-            bag = 4 if len(devices) % 4 == 0 else 1
-            mesh = make_mesh(tp=1, bag=bag)
+            bag = 4 if len(devices) % (4 * args.tp) == 0 else 1
+            mesh = make_mesh(tp=args.tp, bag=bag)
             if bag > 1:
                 sep = ShardedSeparator(single_fn, stacked, cfg.num_sources,
                                        mesh, opts, bag_stacked=True)

@@ -43,11 +43,14 @@ int32_t demucs_ggml_parse(const uint8_t *buf, int64_t n,
       std::memcpy(&shape[i], buf + off, 4);
       off += 4;
       if (shape[i] < 0) return -1;
+      // overflow guard: a crafted file must not wrap count negative and
+      // slip past the bounds check below (max plausible tensor ~2^31)
+      if (shape[i] > 0 && count > (int64_t{1} << 31) / shape[i]) return -1;
       count *= shape[i];
     }
     const char *name = reinterpret_cast<const char *>(buf + off);
     off += name_len;
-    if (off + 2 * count > n) return -1;
+    if (count > (n - off) / 2) return -1;
     cb(ctx, name, name_len, n_dims, shape,
        reinterpret_cast<const uint16_t *>(buf + off), count);
     off += 2 * count;

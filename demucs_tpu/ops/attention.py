@@ -61,7 +61,9 @@ def multihead_attention(q: jnp.ndarray, kv: jnp.ndarray,
     K = linear(kv, wk, bk).reshape(B, S, H, D)
     V = linear(kv, wv, bv).reshape(B, S, H, D)
 
-    if _use_flash():
+    from .pallas.attention import flash_supported
+
+    if _use_flash() and flash_supported(T, S):
         from .pallas import flash_mha
         out = flash_mha(Q.transpose(0, 2, 1, 3), K.transpose(0, 2, 1, 3),
                         V.transpose(0, 2, 1, 3))

@@ -68,13 +68,20 @@ def _pick_block(n: int, target: int = 512) -> int:
     return best
 
 
+def flash_supported(t: int, s: int) -> bool:
+    """True when both sequence lengths have a multiple-of-8 divisor —
+    call sites fall back to the XLA einsum path otherwise."""
+    return bool(_pick_block(t)) and bool(_pick_block(s))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               interpret: bool = False) -> jnp.ndarray:
     """q: (B, H, T, D), k/v: (B, H, S, D) -> (B, H, T, D).
 
     Softmax over S with 1/sqrt(D) scaling. T and S must have a
-    divisor that is a multiple of 8 (true for all Demucs lengths).
+    divisor that is a multiple of 8 (true for all Demucs lengths);
+    check flash_supported() first.
     """
     B, H, T, D = q.shape
     S = k.shape[2]

@@ -101,10 +101,15 @@ class ShardedSeparator(Separator):
     def __init__(self, model_fn, params, num_sources: int, mesh: Mesh,
                  options: ApplyOptions | None = None,
                  bag_stacked: bool = False):
+        import dataclasses
+
         options = options or ApplyOptions()
         dp = mesh.shape.get("dp", 1)
-        # batch must tile evenly across dp shards
-        options.batch_size = max(dp, math.ceil(options.batch_size / dp) * dp)
+        # batch must tile evenly across dp shards (copy — never mutate
+        # the caller's options object)
+        options = dataclasses.replace(
+            options,
+            batch_size=max(dp, math.ceil(options.batch_size / dp) * dp))
         self.mesh = mesh
         self.options = options
         self.num_sources = num_sources

@@ -43,6 +43,8 @@ def load(data: bytes) -> tuple[str, dict[str, np.ndarray]]:
         tensors[key] = arr.view(np.float16).reshape(ne)
 
     magic = _lib.demucs_ggml_parse(data, len(data), visit, None)
+    if magic == -1:
+        raise ValueError("corrupt or truncated ggml file")
     if magic not in GGML_MAGICS:
         raise ValueError(f"bad ggml magic 0x{magic & 0xFFFFFFFF:08x}")
     return GGML_MAGICS[magic], tensors

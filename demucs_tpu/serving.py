@@ -36,6 +36,7 @@ class DemixSession:
         else:
             self._segment_fn = lambda p, m: htdemucs_segment(p, m, self.cfg)
         self._jitted = jax.jit(self._segment_fn)  # one cache, keyed by shape
+        self._separators: dict = {}  # ApplyOptions snapshot -> Separator
 
     @property
     def sources(self) -> tuple[str, ...]:
@@ -50,13 +51,26 @@ class DemixSession:
         return {name: (out[i, 0], out[i, 1])
                 for i, name in enumerate(self.cfg.sources)}
 
+    def _separator(self, options: ApplyOptions | None) -> Separator:
+        """One Separator (and one jax.jit cache) per distinct options —
+        repeat demix_track calls reuse compiled programs."""
+        import dataclasses
+
+        opts = options or ApplyOptions()
+        key = tuple(
+            v if isinstance(v, (int, float, str, type(None), bool))
+            else str(v)
+            for v in dataclasses.astuple(opts))
+        if key not in self._separators:
+            self._separators[key] = Separator(
+                self._segment_fn, self.params, self.cfg.num_sources, opts)
+        return self._separators[key]
+
     def demix_track(self, audio: np.ndarray,
                     options: ApplyOptions | None = None,
                     progress: ProgressCallback = null_progress) -> np.ndarray:
         """Full track with overlap-add: (2, N) -> (S, 2, N)."""
-        sep = Separator(self._segment_fn, self.params,
-                        self.cfg.num_sources, options)
-        return sep(audio, progress=progress)
+        return self._separator(options)(audio, progress=progress)
 
     def export_program(self, batch_size: int = 8,
                        segment_samples: int | None = None) -> bytes:
@@ -92,6 +106,4 @@ class DemixSession:
                      ) -> list[np.ndarray]:
         """Continuous batching across many tracks (one global segment
         batch; see pipeline.Separator.separate_many)."""
-        sep = Separator(self._segment_fn, self.params,
-                        self.cfg.num_sources, options)
-        return sep.separate_many(tracks, progress=progress)
+        return self._separator(options).separate_many(tracks, progress=progress)

@@ -162,3 +162,14 @@ def test_cli_directory_batch_mode(tmp_path):
         for i, src in enumerate(cfg.sources):
             stem, _ = audio.read_wav(outdir / name / f"target_{i}_{src}.wav")
             assert stem.shape == (2, n)
+
+
+def test_wav_riff_size_field_exact(tmp_path):
+    """RIFF content size must be file_size - 8 (strict readers bound
+    chunk-walking by it)."""
+    import struct
+    p = tmp_path / "r.wav"
+    audio.write_wav(p, np.zeros((2, 1001), np.float32))
+    data = p.read_bytes()
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    assert riff_size == len(data) - 8

@@ -65,3 +65,10 @@ def test_mha_flash_flag_in_model_op():
     out = flash_mha(Q, K, V, interpret=True).transpose(0, 2, 1, 3).reshape(B, T, C)
     out = np.asarray(A.linear(out, opw, opb))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_supported_gate():
+    from demucs_tpu.ops.pallas.attention import flash_supported
+    assert flash_supported(2688, 1344)
+    assert flash_supported(336, 168)
+    assert not flash_supported(7, 2688)   # no mult-of-8 divisor

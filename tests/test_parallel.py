@@ -124,3 +124,12 @@ def test_sharded_separator_identity_roundtrip():
     out = sep(audio)
     assert out.shape == (2, 2, 30011)
     np.testing.assert_allclose(out[0], audio, atol=1e-4)
+
+
+def test_sharded_separator_does_not_mutate_options():
+    opts = ApplyOptions(segment_samples=4096, batch_size=3)
+    mesh = make_mesh()
+    sep = ShardedSeparator(_identity_model, {}, num_sources=2, mesh=mesh,
+                           options=opts)
+    assert opts.batch_size == 3          # caller's object untouched
+    assert sep.options.batch_size == 8   # rounded copy
