@@ -1,0 +1,74 @@
+"""Fused int8-dequant matmul kernel.
+
+Weight-only quantization (params/quant.py) stores w as int8 with
+per-output-channel scales. XLA already fuses `(q * scale) @ x` well,
+but the fused kernel guarantees the int8 tensor is what crosses HBM and
+the widening happens in VMEM right before the MXU — the "fused
+dequant+matmul" stage of the build plan (SURVEY.md §7.1.3).
+
+Computes y = x @ (q * scale).T for torch-Linear layout:
+x (M, K), q (N, K) int8, scale (N,) -> y (M, N).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, q_ref, s_ref, o_ref):
+    # x (BM, K), q (BN, K) int8, s (1, BN) -> o (BM, BN)
+    w = q_ref[:].astype(jnp.bfloat16)               # widen in VMEM
+    acc = jax.lax.dot_general(
+        x_ref[:].astype(jnp.bfloat16), w,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BM, BN)
+    o_ref[:] = (acc * s_ref[0, :][None, :]).astype(o_ref.dtype)
+
+
+def _pick(n: int, target: int) -> int:
+    best = 0
+    for b in range(8, min(n, target) + 1, 8):
+        if n % b == 0:
+            best = b
+    return best or n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """x (M, K) @ dequant(q (N, K), scale (N,)).T -> (M, N), x.dtype."""
+    M, K = x.shape
+    N = q.shape[0]
+    bm = _pick(M, 512)
+    bn = _pick(N, 512)
+    s2 = scale.reshape(1, N).astype(jnp.float32)
+
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        grid=(M // bm, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((bn, K), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        interpret=interpret,
+    )(x, q, s2)
+
+
+def int8_linear(x: jnp.ndarray, qleaf: dict, bias=None,
+                interpret: bool = False) -> jnp.ndarray:
+    """torch nn.Linear on a {"q", "scale"} leaf: x (..., K) -> (..., N)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    q = qleaf["q"]
+    scale = jnp.asarray(qleaf["scale"]).reshape(-1)
+    y = int8_matmul(x.reshape(-1, K), q, scale, interpret=interpret)
+    y = y.reshape(*lead, q.shape[0])
+    return y if bias is None else y + jnp.asarray(bias, y.dtype)

@@ -72,3 +72,28 @@ def test_flash_supported_gate():
     assert flash_supported(2688, 1344)
     assert flash_supported(336, 168)
     assert not flash_supported(7, 2688)   # no mult-of-8 divisor
+
+
+def test_int8_matmul_matches_dequant_reference():
+    from demucs_tpu.ops.pallas.quant_matmul import int8_linear, int8_matmul
+    rng = np.random.default_rng(3)
+    M, K, N = 64, 128, 96
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.5, jnp.float32)
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    amax = np.abs(w).max(1, keepdims=True)
+    scale = np.maximum(amax / 127.0, 1e-12)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+
+    ref = np.asarray(x) @ (q.astype(np.float32) * scale).T
+    out = np.asarray(int8_matmul(x, jnp.asarray(q),
+                                 jnp.asarray(scale.reshape(-1)),
+                                 interpret=True))
+    # bf16 operands inside the kernel: ~0.4% relative
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+    bias = rng.standard_normal(N).astype(np.float32)
+    y = np.asarray(int8_linear(x.reshape(4, 16, K),
+                               {"q": jnp.asarray(q), "scale": jnp.asarray(scale)},
+                               bias, interpret=True))
+    np.testing.assert_allclose(y, (ref + bias).reshape(4, 16, N),
+                               rtol=2e-2, atol=2e-2)
