@@ -241,3 +241,35 @@ def test_sin_embedding_2d():
     ours = ops.create_2d_sin_embedding(32, 8, 5)
     theirs = _torch_2d_sin_embedding(32, 8, 5).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_conv_transpose_phase_paths_match_torch():
+    """Phase-decomposed (stride | K) and dilated fallback must both be
+    torch-exact, including nonzero output padding trim."""
+    import torch
+    rng = np.random.default_rng(21)
+    # 1d: K=8 s=4 (phase), K=4 s=2 p=1 (phase, v3 dec0), K=3 s=2 (fallback)
+    for k, s, p in ((8, 4, 0), (4, 2, 1), (3, 2, 1), (8, 4, 2)):
+        x = rng.standard_normal((2, 6, 19)).astype(np.float32)
+        w = rng.standard_normal((6, 5, k)).astype(np.float32) * 0.3
+        b = rng.standard_normal(5).astype(np.float32)
+        ref = torch.conv_transpose1d(torch.from_numpy(x), torch.from_numpy(w),
+                                     torch.from_numpy(b), stride=s,
+                                     padding=p).numpy()
+        got = np.asarray(ops.conv_transpose1d(jnp.asarray(x), jnp.asarray(w),
+                                              jnp.asarray(b), stride=s,
+                                              padding=p))
+        np.testing.assert_allclose(got, ref, atol=2e-5), (k, s, p)
+    # 2d freq-axis: (8,1) stride (4,1) phase; (3,3) stride (2,2) fallback
+    x = rng.standard_normal((2, 6, 10, 7)).astype(np.float32)
+    for kh, kw, sh, sw, p in ((8, 1, 4, 1, 0), (8, 1, 4, 1, 2),
+                              (3, 3, 2, 2, 1)):
+        w = rng.standard_normal((6, 5, kh, kw)).astype(np.float32) * 0.3
+        b = rng.standard_normal(5).astype(np.float32)
+        ref = torch.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                                     torch.from_numpy(b), stride=(sh, sw),
+                                     padding=(p, p if kw > 1 else 0)).numpy()
+        got = np.asarray(ops.conv_transpose2d(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), stride=(sh, sw),
+            padding=(p, p if kw > 1 else 0)))
+        np.testing.assert_allclose(got, ref, atol=2e-5), (kh, sh)
