@@ -1,0 +1,93 @@
+"""SDR acceptance gate: JAX pipeline vs the torch oracle on real audio.
+
+Automates the reference's tier-4 methodology (SURVEY.md §4: run both
+implementations on a track with the shift pinned to 1337, SDR each
+against ground-truth stems, require <= 0.1 dB per-stem delta,
+.github/SDR_scores.md). With MUSDB18-HQ ground truth present pass
+--ref-dir; without it the tool still reports the cross-implementation
+SDR (JAX estimate scored against the torch estimate — a lower bound on
+agreement: >= ~40 dB means numerically interchangeable).
+
+Usage:
+    python -m demucs_tpu.tools.sdr_acceptance MODEL.bin TRACK.wav \
+        [--ref-dir musdb_track_dir] [--tolerance-db 0.1] [--workdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="SDR acceptance gate")
+    ap.add_argument("model")
+    ap.add_argument("input")
+    ap.add_argument("--ref-dir", default=None,
+                    help="ground-truth stem dir (MUSDB layout)")
+    ap.add_argument("--tolerance-db", type=float, default=0.1)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--segment-samples", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from .. import audio
+    from ..cli import main as cli_main
+    from .evaluate_sdr import median_sdr
+    from .torch_inference import main as torch_main
+
+    work = Path(args.workdir or tempfile.mkdtemp(prefix="sdr_accept_"))
+    jax_dir, torch_dir = work / "jax", work / "torch"
+
+    common = [args.model, args.input, None, "--offset", "1337"]
+    if args.segment_samples:
+        common += ["--segment-samples", str(args.segment_samples)]
+
+    a = list(common)
+    a[2] = str(jax_dir)
+    if cli_main(a + ["--no-mesh"]) != 0:
+        return 1
+    t = list(common)
+    t[2] = str(torch_dir)
+    if torch_main(t) != 0:
+        return 1
+
+    from ..params.ggml import load_model_params
+    cfg, _ = load_model_params(args.model)
+
+    report = {}
+    ok = True
+    for i, stem in enumerate(cfg.sources):
+        jx, _ = audio.read_wav(jax_dir / f"target_{i}_{stem}.wav")
+        tx, _ = audio.read_wav(torch_dir / f"target_{i}_{stem}.wav")
+        cross = median_sdr(tx, jx)   # agreement between implementations
+        entry = {"cross_impl_sdr_db": round(cross, 2)}
+        if args.ref_dir:
+            ref = None
+            for p in Path(args.ref_dir).iterdir():
+                if stem in p.name.lower() and p.suffix == ".wav":
+                    ref, _ = audio.read_wav(p)
+                    break
+            if ref is None:
+                print(f"warning: no {stem} ground truth in {args.ref_dir}",
+                      file=sys.stderr)
+            else:
+                s_jax = median_sdr(ref, jx)
+                s_torch = median_sdr(ref, tx)
+                entry.update({"jax_sdr_db": round(s_jax, 3),
+                              "torch_sdr_db": round(s_torch, 3),
+                              "delta_db": round(abs(s_jax - s_torch), 3)})
+                ok &= abs(s_jax - s_torch) <= args.tolerance_db
+        report[stem] = entry
+
+    report["pass"] = bool(ok)
+    print(json.dumps(report))
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -173,3 +173,24 @@ def test_wav_riff_size_field_exact(tmp_path):
     data = p.read_bytes()
     (riff_size,) = struct.unpack_from("<I", data, 4)
     assert riff_size == len(data) - 8
+
+
+@pytest.mark.slow
+def test_cli_v3_end_to_end(tmp_path):
+    """v3 model selected by ggml magic, full CLI pipeline."""
+    from demucs_tpu.config import HDEMUCS_V3
+    flat = P.init_flat(P.hdemucs_v3_schema(HDEMUCS_V3), seed=0)
+    model = tmp_path / "v3.bin"
+    write_ggml(model, "hdemucs_mmi", flat)
+    rng = np.random.default_rng(8)
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 20000)) * 0.2)
+                    .astype(np.float32))
+    outdir = tmp_path / "out"
+    rc = main([str(model), str(wav), str(outdir), "--no-mesh",
+               "--offset", "0", "--batch", "2", "--segment-samples", "16384"])
+    assert rc == 0
+    for i, name in enumerate(HDEMUCS_V3.sources):
+        stem, _ = audio.read_wav(outdir / f"target_{i}_{name}.wav")
+        assert stem.shape == (2, 20000)
+        assert np.isfinite(stem).all()

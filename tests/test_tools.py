@@ -1,6 +1,7 @@
 """Tooling tests: pth->ggml conversion round-trip and SDR math."""
 
 import numpy as np
+import pytest
 import torch
 
 from demucs_tpu import audio
@@ -88,3 +89,32 @@ def test_torch_inference_matches_jax_cli(tmp_path):
         b, _ = audio.read_wav(tmp_path / "out_jax" / f"target_{i}_{name}.wav")
         err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
         assert err < 1e-3, (name, err)
+
+
+@pytest.mark.slow
+def test_sdr_acceptance_gate(tmp_path, capsys):
+    """The acceptance harness runs both implementations and reports
+    cross-implementation SDR; with random weights they must still agree
+    to >= 40 dB (numerical interchangeability)."""
+    import pytest  # noqa: F811
+    from demucs_tpu import params as P
+    from demucs_tpu.config import HTDEMUCS_4S
+    from demucs_tpu.params.ggml import write_ggml
+    from demucs_tpu.tools.sdr_acceptance import main as accept_main
+
+    flat = P.init_flat(P.htdemucs_schema(HTDEMUCS_4S), seed=0)
+    model = tmp_path / "m.bin"
+    write_ggml(model, "htdemucs_4s", flat)
+    rng = np.random.default_rng(9)
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 66150)) * 0.2)
+                    .astype(np.float32))
+    rc = accept_main([str(model), str(wav), "--workdir", str(tmp_path / "w"),
+                      "--segment-samples", "16384"])
+    assert rc == 0
+    import json
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(out)
+    assert rep["pass"]
+    for stem in ("drums", "bass", "other", "vocals"):
+        assert rep[stem]["cross_impl_sdr_db"] > 40, rep
