@@ -131,7 +131,7 @@ class ShardedSeparator(Separator):
         outs = []
         for i in range(0, padded_n, bs):
             chunk = jax.device_put(batch[i:i + bs], self._in_sharding)
-            outs.append(np.asarray(self._fn(self.params, chunk)))
+            outs.append(self._call_device(chunk))
             progress(min((i + bs) / padded_n, 1.0),
                      f"segments {min(i + bs, n)}/{n}")
         return np.concatenate(outs)[:n]

@@ -120,6 +120,19 @@ class Separator:
             self.params = params
             self._fn = model_fn
 
+    def _call_device(self, chunk):
+        """One device step with a single retry on transient runtime
+        failures (tunneled TPU backends occasionally surface
+        FAILED_PRECONDITION when the device resets between processes)."""
+        try:
+            return np.asarray(self._fn(self.params, chunk))
+        except jax.errors.JaxRuntimeError as e:  # pragma: no cover - device
+            if "FAILED_PRECONDITION" not in str(e):
+                raise
+            import time
+            time.sleep(2.0)
+            return np.asarray(self._fn(self.params, chunk))
+
     def _run_batched(self, batch: np.ndarray,
                      progress: ProgressCallback) -> np.ndarray:
         bs = self.options.batch_size
@@ -130,8 +143,7 @@ class Separator:
             batch = np.concatenate(
                 [batch, np.zeros((padded_n - n,) + batch.shape[1:], batch.dtype)])
         for i in range(0, padded_n, bs):
-            outs.append(np.asarray(self._fn(self.params,
-                                            jnp.asarray(batch[i:i + bs]))))
+            outs.append(self._call_device(jnp.asarray(batch[i:i + bs])))
             progress(min((i + bs) / padded_n, 1.0),
                      f"segments {min(i + bs, n)}/{n}")
         return np.concatenate(outs)[:n]

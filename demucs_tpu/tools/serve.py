@@ -1,0 +1,121 @@
+"""Minimal HTTP separation server on top of serving.DemixSession.
+
+The network-facing analog of the reference's WASM worker boundary
+(src_wasm/demucs.cpp exposes modelInit/modelDemixSegment to a JS
+worker): weights stay resident, programs stay compiled, each request is
+one track. Stdlib-only (http.server + zipfile).
+
+Endpoints:
+    GET  /health    -> {"status": "ok", "sources": [...]}
+    POST /separate  -> body: WAV bytes (44.1 kHz) ->
+                       application/zip of target_{i}_{stem}.wav
+
+Usage:
+    python -m demucs_tpu.tools.serve MODEL.bin [--port 8642] \
+        [--segment-samples N] [--batch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import zipfile
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_handler(session, options):
+    from .. import audio
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route to stderr, not stdout
+            print("serve:", fmt % a, file=sys.stderr)
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok",
+                                 "sources": list(session.sources)})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/separate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
+                import tempfile
+                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                    f.write(raw)
+                    f.flush()
+                    track = audio.load_track(f.name)
+                stems = session.demix_track(track, options)
+            except (ValueError, OSError) as e:
+                self._json(400, {"error": str(e)})
+                return
+
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                for i, name in enumerate(session.sources):
+                    wav_buf = io.BytesIO()
+                    import tempfile
+                    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                        audio.write_wav(f.name, np.asarray(stems[i]))
+                        wav_buf.write(open(f.name, "rb").read())
+                    z.writestr(f"target_{i}_{name}.wav", wav_buf.getvalue())
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/zip")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def make_server(model_path, port=0, segment_samples=None, batch=8):
+    from ..pipeline import ApplyOptions
+    from ..serving import DemixSession
+
+    session = DemixSession(model_path)
+    options = ApplyOptions(batch_size=batch)
+    if segment_samples:
+        options.segment_samples = segment_samples
+        options.max_shift_secs = min(options.max_shift_secs,
+                                     segment_samples / 44100.0 / 4)
+    return ThreadingHTTPServer(("127.0.0.1", port),
+                               make_handler(session, options))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="HTTP separation server")
+    ap.add_argument("model")
+    ap.add_argument("--port", type=int, default=8642)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--segment-samples", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    srv = make_server(args.model, args.port, args.segment_samples, args.batch)
+    print(f"listening on http://127.0.0.1:{srv.server_address[1]}",
+          file=sys.stderr)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
