@@ -17,10 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent XLA cache: the 343980-sample graph takes ~4 min to compile
+from demucs_tpu.utils import enable_compile_cache
+
+# persistent XLA cache: the 343980-sample graph takes minutes to compile
 # through the TPU tunnel; cached recompiles are seconds.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+enable_compile_cache()
 
 from demucs_tpu import params as P
 from demucs_tpu.config import HTDEMUCS_4S, SEGMENT_SAMPLES

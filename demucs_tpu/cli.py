@@ -154,6 +154,9 @@ def main(argv=None) -> int:
                     help=argparse.SUPPRESS)  # testing: shrink the 7.8 s segment
     args = ap.parse_args(argv)
 
+    from .utils import enable_compile_cache
+    enable_compile_cache()
+
     if bool(args.model) == bool(args.ft_dir):
         ap.error("provide exactly one of `model` or --ft-dir")
 

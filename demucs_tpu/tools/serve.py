@@ -89,6 +89,9 @@ def make_server(model_path, port=0, segment_samples=None, batch=8):
     from ..pipeline import ApplyOptions
     from ..serving import DemixSession
 
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
     session = DemixSession(model_path)
     options = ApplyOptions(batch_size=batch)
     if segment_samples:
