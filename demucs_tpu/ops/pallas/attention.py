@@ -33,22 +33,24 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, bs: int, sm_scale: float):
     s_total = k_ref.shape[1]
     n_blocks = s_total // bs
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale
+    # matmul operands stay in the input dtype (bf16 hits the MXU's native
+    # rate); accumulation and the softmax state are f32
+    q = q_ref[0]
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * bs, bs), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * bs, bs), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * bs, bs), :]
+        v = v_ref[0, pl.ds(i * bs, bs), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (BT, BS)
+            preferred_element_type=jnp.float32) * sm_scale  # (BT, BS) f32
         m_cur = jnp.max(logits, axis=-1, keepdims=True)   # (BT, 1)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(logits - m_new)                       # (BT, BS)
         alpha = jnp.exp(m_prev - m_new)                   # (BT, 1)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (BT, D)
         return acc, m_new, l_new
 
