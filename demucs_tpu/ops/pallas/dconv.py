@@ -11,13 +11,21 @@ size). This kernel runs the whole sub-block in VMEM per row-block:
     y = GroupNorm1(y) ; y = GLU(y, dim=C)      # 2C -> C
     x = x + layer_scale * y
 
-Layout: the caller passes x as (C, N, T) (channels leading) so the
-in-kernel contractions are clean 2D matmuls with the row*time axis on
-the MXU lanes; rows are fully independent (each (b·f) sample normalizes
-over its own (h, T), exactly like GroupNorm(1) on the folded batch).
+Every row (a (b·f) sample after the freq fold) is independent — its
+GroupNorm statistics cover its own (channels, T) exactly as GroupNorm(1)
+on the folded batch. The kernel walks the rows of its block with 2D
+(C, T) tiles (Mosaic cannot reshape across the sublane/lane boundary,
+so no (C, BN*T) flattening); intermediates are f32 and never leave
+VMEM. Only the (BN, C, T) input/output tiles cross HBM.
 
-All intermediates are f32; only the (C, BN, T) input/output tiles cross
-HBM. Weights (a few KB) are replicated into every grid step.
+STATUS: correct (4e-7 vs the XLA chain in f32; bf16-noise-level on
+bf16 data) but measured 2.0x SLOWER than the unfused XLA chain at the
+htdemucs level-0 shape (12.5 vs 6.3 ms for N=4096, C=48, T=336, both
+sub-blocks) — the per-row fori_loop serializes (6, 48)x(48, 336)
+matmuls that XLA batches across rows. NOT wired into the models; kept
+as the starting point for a cross-row-batched variant (needs Mosaic
+sublane-collapse support or a strided-lane layout) and because it wins
+when C/h are large enough to fill the MXU per row.
 """
 
 from __future__ import annotations
@@ -29,75 +37,92 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 polynomial erf, |err| <= 1.5e-7.
+
+    Mosaic has no erf/erfc lowering, so exact-erf GELU is evaluated with
+    this polynomial — well below the bf16 noise floor of the data.
+    """
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _sub_block_kernel(x_ref, w0_ref, b0_ref, g1_ref, be1_ref,
                       w3_ref, b3_ref, g4_ref, be4_ref, sc_ref, o_ref,
                       *, dil: int, eps: float = 1e-5):
-    """x_ref/o_ref: (C, BN, T). w0 (h, C, 3), w3 (2C, h)."""
-    C, BN, T = x_ref.shape
+    """x_ref/o_ref: (BN, C, T). w0 (h, C, 3), w3 (2C, h)."""
+    BN, C, T = x_ref.shape
     h = w0_ref.shape[0]
 
-    x = x_ref[:].astype(jnp.float32)
-    x2 = x.reshape(C, BN * T)
+    w0 = w0_ref[:].astype(jnp.float32)
+    b0 = b0_ref[:].astype(jnp.float32).reshape(h, 1)
+    g1 = g1_ref[:].astype(jnp.float32).reshape(h, 1)
+    be1 = be1_ref[:].astype(jnp.float32).reshape(h, 1)
+    w3 = w3_ref[:].astype(jnp.float32)
+    b3 = b3_ref[:].astype(jnp.float32).reshape(2 * C, 1)
+    g4 = g4_ref[:].astype(jnp.float32).reshape(2 * C, 1)
+    be4 = be4_ref[:].astype(jnp.float32).reshape(2 * C, 1)
+    sc = sc_ref[:].astype(jnp.float32).reshape(C, 1)
 
-    # conv k=3 with dilation: three shifted matmuls. Shift via pad+slice
-    # (VMEM-local); zero padding == the conv's own zero pad.
-    xp = jnp.pad(x, ((0, 0), (0, 0), (dil, dil)))
-    acc = jnp.zeros((h, BN * T), jnp.float32)
-    for k in range(3):
-        xs = xp[:, :, k * dil:k * dil + T].reshape(C, BN * T)
-        acc = acc + jax.lax.dot_general(
-            w0_ref[:, :, k].astype(jnp.float32), xs,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    y = acc + b0_ref[:].astype(jnp.float32)[:, None]
+    def row(b, _):
+        x = x_ref[b].astype(jnp.float32)           # (C, T)
+        xp = jnp.pad(x, ((0, 0), (dil, dil)))
+        acc = jnp.zeros((h, T), jnp.float32)
+        for k in range(3):
+            acc = acc + jax.lax.dot_general(
+                w0[:, :, k], xp[:, k * dil:k * dil + T],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        y = acc + b0
 
-    # GroupNorm(1) per row: stats over (h, T) for each of the BN rows
-    y3 = y.reshape(h, BN, T)
-    mean = y3.mean(axis=(0, 2), keepdims=True)
-    var = jnp.square(y3 - mean).mean(axis=(0, 2), keepdims=True)
-    y3 = (y3 - mean) * jax.lax.rsqrt(var + eps)
-    y3 = y3 * g1_ref[:].astype(jnp.float32)[:, None, None] \
-        + be1_ref[:].astype(jnp.float32)[:, None, None]
-    y = _gelu(y3).reshape(h, BN * T)
+        mean = y.mean()
+        var = jnp.square(y - mean).mean()
+        y = (y - mean) * jax.lax.rsqrt(var + eps) * g1 + be1
+        y = _gelu(y)
 
-    # 1x1 expand h -> 2C
-    z = jax.lax.dot_general(
-        w3_ref[:].astype(jnp.float32), y,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    z = z + b3_ref[:].astype(jnp.float32)[:, None]
+        z = jax.lax.dot_general(
+            w3, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b3
+        mean = z.mean()
+        var = jnp.square(z - mean).mean()
+        z = (z - mean) * jax.lax.rsqrt(var + eps) * g4 + be4
 
-    z3 = z.reshape(2 * C, BN, T)
-    mean = z3.mean(axis=(0, 2), keepdims=True)
-    var = jnp.square(z3 - mean).mean(axis=(0, 2), keepdims=True)
-    z3 = (z3 - mean) * jax.lax.rsqrt(var + eps)
-    z3 = z3 * g4_ref[:].astype(jnp.float32)[:, None, None] \
-        + be4_ref[:].astype(jnp.float32)[:, None, None]
+        a, g = z[:C], z[C:]
+        o_ref[b] = (x + a * jax.nn.sigmoid(g) * sc).astype(o_ref.dtype)
+        return 0
 
-    a, g = z3[:C], z3[C:]
-    y_out = a * jax.nn.sigmoid(g) * sc_ref[:].astype(jnp.float32)[:, None, None]
-    o_ref[:] = (x + y_out).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, BN, row, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("dil", "interpret"))
 def dconv_sub_block(x: jnp.ndarray, w0, b0, g1, be1, w3, b3, g4, be4, scale,
                     dil: int = 1, interpret: bool = False) -> jnp.ndarray:
-    """One fused DConv sub-block. x: (C, N, T) channels-leading."""
-    C, N, T = x.shape
+    """One fused DConv sub-block. x: (N, C, T)."""
+    N, C, T = x.shape
     h = w0.shape[0]
-    bn = 64
+    bn = 32
     while N % bn:
         bn //= 2
-    grid = (N // bn,)
+    w3_2d = jnp.asarray(w3)
+    if w3_2d.ndim == 3:
+        w3_2d = w3_2d[:, :, 0]
 
     return pl.pallas_call(
         functools.partial(_sub_block_kernel, dil=dil),
-        out_shape=jax.ShapeDtypeStruct((C, N, T), x.dtype),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((N, C, T), x.dtype),
+        grid=(N // bn,),
         in_specs=[
-            pl.BlockSpec((C, bn, T), lambda i: (0, i, 0)),
+            pl.BlockSpec((bn, C, T), lambda i: (i, 0, 0)),
             pl.BlockSpec((h, C, 3), lambda i: (0, 0, 0)),
             pl.BlockSpec((h,), lambda i: (0,)),
             pl.BlockSpec((h,), lambda i: (0,)),
@@ -108,9 +133,9 @@ def dconv_sub_block(x: jnp.ndarray, w0, b0, g1, be1, w3, b3, g4, be4, scale,
             pl.BlockSpec((2 * C,), lambda i: (0,)),
             pl.BlockSpec((C,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((C, bn, T), lambda i: (0, i, 0)),
+        out_specs=pl.BlockSpec((bn, C, T), lambda i: (i, 0, 0)),
         interpret=interpret,
-    )(x, w0, b0, g1, be1, w3, b3, g4, be4, scale)
+    )(x, w0, b0, g1, be1, w3_2d, b3, g4, be4, scale)
 
 
 def dconv_fused(x: jnp.ndarray, blocks: list, interpret: bool = False
@@ -119,14 +144,13 @@ def dconv_fused(x: jnp.ndarray, blocks: list, interpret: bool = False
 
     Numerically equivalent to models/htdemucs.dconv (same f32 stats).
     """
-    xc = jnp.transpose(x, (1, 0, 2))              # (C, N, T)
     for j, blk in enumerate(blocks):
-        xc = dconv_sub_block(
-            xc,
+        x = dconv_sub_block(
+            x,
             blk["0"]["weight"], blk["0"]["bias"],
             blk["1"]["weight"], blk["1"]["bias"],
-            jnp.asarray(blk["3"]["weight"])[:, :, 0], blk["3"]["bias"],
+            blk["3"]["weight"], blk["3"]["bias"],
             blk["4"]["weight"], blk["4"]["bias"],
             blk["6"]["scale"],
             dil=2 ** j, interpret=interpret)
-    return jnp.transpose(xc, (1, 0, 2))
+    return x

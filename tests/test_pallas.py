@@ -97,3 +97,23 @@ def test_int8_matmul_matches_dequant_reference():
                                bias, interpret=True))
     np.testing.assert_allclose(y, (ref + bias).reshape(4, 16, N),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_dconv_fused_matches_model_dconv():
+    from demucs_tpu.models.htdemucs import dconv
+    from demucs_tpu.ops.pallas.dconv import dconv_fused
+    rng = np.random.default_rng(4)
+    N, C, T, h = 64, 16, 96, 2
+    def blk(seed):
+        r = np.random.default_rng(seed)
+        mk = lambda *s: jnp.asarray(r.standard_normal(s) * .2, jnp.float32)
+        return {"0": {"weight": mk(h, C, 3), "bias": mk(h)},
+                "1": {"weight": mk(h) + 1, "bias": mk(h)},
+                "3": {"weight": mk(2 * C, h, 1), "bias": mk(2 * C)},
+                "4": {"weight": mk(2 * C) + 1, "bias": mk(2 * C)},
+                "6": {"scale": mk(C)}}
+    blocks = [blk(1), blk(2)]
+    x = jnp.asarray(rng.standard_normal((N, C, T)) * 0.3, jnp.float32)
+    ref = np.asarray(dconv(x, blocks))
+    out = np.asarray(dconv_fused(x, blocks, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-6)
