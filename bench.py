@@ -52,12 +52,15 @@ def main():
     float(fn(params, mix))  # compile + warm-up (fenced)
 
     iters = 10 if on_tpu else 2
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(params, mix)
-    float(out)  # single completion fence
-    dt = (time.perf_counter() - t0) / iters
+    rounds = 2 if on_tpu else 1  # best-of-2: the tunnel occasionally stalls
+    dt = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(params, mix)
+        float(out)  # single completion fence
+        dt = min(dt, (time.perf_counter() - t0) / iters)
 
     audio_s = batch * seg / 44100.0
     rate = audio_s / dt

@@ -133,3 +133,11 @@ def test_sharded_separator_does_not_mutate_options():
                            options=opts)
     assert opts.batch_size == 3          # caller's object untouched
     assert sep.options.batch_size == 8   # rounded copy
+
+
+def test_multihost_mesh_single_process_fallback():
+    from demucs_tpu.parallel.mesh import make_multihost_mesh
+    m = make_multihost_mesh(tp=2)
+    assert dict(m.shape) == {"bag": 1, "dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        make_multihost_mesh(tp=16)  # exceeds per-host devices

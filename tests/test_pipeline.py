@@ -86,3 +86,15 @@ def test_separate_many_matches_single():
     for s, m, t in zip(singles, many, tracks):
         assert m.shape == (3,) + t.shape
         np.testing.assert_allclose(m, s, atol=1e-5)
+
+
+def test_stage_timer_report():
+    from demucs_tpu.utils.profiling import StageTimer
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal((2, 9000)).astype(np.float32)
+    opts = ApplyOptions(segment_samples=4096, batch_size=2, shift_offset=0)
+    sep = Separator(_identity_model, params={}, num_sources=3, options=opts)
+    timer = StageTimer()
+    sep(audio, progress=timer)
+    report = timer.report()
+    assert "segments" in report and "stage_s" in report
