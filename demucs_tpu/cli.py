@@ -54,11 +54,9 @@ def _find_ft_models(model_dir: Path) -> list[Path]:
 
 
 def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
-    opts = ApplyOptions(batch_size=args.batch, shift_offset=args.offset)
-    if args.segment_samples:
-        opts.segment_samples = args.segment_samples
-        opts.max_shift_secs = min(opts.max_shift_secs,
-                                  args.segment_samples / 44100.0 / 4)
+    opts = ApplyOptions(batch_size=args.batch,
+                        shift_offset=args.offset).with_segment(
+                            args.segment_samples)
 
     def maybe_quant(fn, tree):
         """Apply --bf16 / --int8 / --fp8 to one (fn, tree) pair. bf16 +

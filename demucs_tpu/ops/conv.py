@@ -127,7 +127,7 @@ def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray,
     """
     kh, kw = w.shape[-2:]
     sh, sw = stride
-    if sh > 1 and kh % sh == 0 and kw == 1 and sw == 1:
+    if sh > 1 and kh % sh == 0 and kw == 1 and sw == 1 and padding[1] == 0:
         H = x.shape[2]
         r = kh // sh
         wp = _phase_weights(w[:, :, :, 0], sh)[:, :, :, None].astype(x.dtype)

@@ -31,11 +31,9 @@ def _kernel(x_ref, q_ref, s_ref, o_ref):
 
 
 def _pick(n: int, target: int) -> int:
-    best = 0
-    for b in range(8, min(n, target) + 1, 8):
-        if n % b == 0:
-            best = b
-    return best or n
+    from .attention import _pick_block
+
+    return _pick_block(n, target) or n
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -30,12 +30,18 @@ GGML_MAGICS = {
 MAGIC_BY_NAME = {v: k for k, v in GGML_MAGICS.items()}
 
 
-def _load_ggml_numpy(data: bytes) -> tuple[str, dict[str, np.ndarray]]:
+def check_magic(data: bytes) -> int:
+    """Validate the 4-byte magic; shared by the numpy and native loaders."""
     if len(data) < 4:
         raise ValueError("truncated ggml file (no magic)")
     (magic,) = struct.unpack_from("<i", data, 0)
     if magic not in GGML_MAGICS:
-        raise ValueError(f"bad ggml magic 0x{magic:08x}")
+        raise ValueError(f"bad ggml magic 0x{magic & 0xFFFFFFFF:08x}")
+    return magic
+
+
+def _load_ggml_numpy(data: bytes) -> tuple[str, dict[str, np.ndarray]]:
+    magic = check_magic(data)
     offset = 4
     tensors: dict[str, np.ndarray] = {}
     n = len(data)

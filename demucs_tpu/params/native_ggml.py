@@ -31,16 +31,9 @@ _lib.demucs_fp16_to_fp32.argtypes = [
 
 
 def load(data: bytes) -> tuple[str, dict[str, np.ndarray]]:
-    import struct
+    from .ggml import GGML_MAGICS, check_magic
 
-    from .ggml import GGML_MAGICS
-
-    if len(data) < 4:
-        raise ValueError("truncated ggml file (no magic)")
-    (file_magic,) = struct.unpack_from("<i", data, 0)
-    if file_magic not in GGML_MAGICS:
-        raise ValueError(f"bad ggml magic 0x{file_magic & 0xFFFFFFFF:08x}")
-
+    check_magic(data)
     tensors: dict[str, np.ndarray] = {}
 
     @_CB

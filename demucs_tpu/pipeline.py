@@ -44,6 +44,17 @@ class ApplyOptions:
     batch_size: int = 8               # segments per device call
     dtype: np.dtype = np.float32
 
+    def with_segment(self, segment_samples: int | None) -> "ApplyOptions":
+        """Copy with a shorter segment; the shift pad must stay well
+        inside it (single source of the clamp rule — CLI/tools share it)."""
+        if not segment_samples:
+            return self
+        return dataclasses.replace(
+            self,
+            segment_samples=segment_samples,
+            max_shift_secs=min(self.max_shift_secs,
+                               segment_samples / C.SAMPLE_RATE / 4))
+
 
 def triangle_weight(segment: int, power: float = 1.0) -> np.ndarray:
     """Reference split_inference weights (src/model_apply.cpp:171-179)."""

@@ -37,7 +37,7 @@ def main(argv=None) -> int:
 
     from .. import audio
     from ..cli import main as cli_main
-    from .evaluate_sdr import median_sdr
+    from .evaluate_sdr import _find_stem, median_sdr
     from .torch_inference import main as torch_main
 
     work = Path(args.workdir or tempfile.mkdtemp(prefix="sdr_accept_"))
@@ -56,32 +56,46 @@ def main(argv=None) -> int:
     if torch_main(t) != 0:
         return 1
 
-    from ..params.ggml import load_model_params
-    cfg, _ = load_model_params(args.model)
+    import struct
+
+    from ..params.ggml import GGML_MAGICS
+
+    # stem names need only the 4-byte magic, not a full weight parse
+    with open(args.model, "rb") as f:
+        (magic,) = struct.unpack("<i", f.read(4))
+    kind = GGML_MAGICS.get(magic)
+    sources = (("drums", "bass", "other", "vocals", "guitar", "piano")
+               if kind == "htdemucs_6s"
+               else ("drums", "bass", "other", "vocals"))
+
+    def _num(x):  # NaN (silent / <1 s windows) must not leak into JSON
+        return None if (x != x) else round(x, 3)
 
     report = {}
     ok = True
-    for i, stem in enumerate(cfg.sources):
+    for i, stem in enumerate(sources):
         jx, _ = audio.read_wav(jax_dir / f"target_{i}_{stem}.wav")
         tx, _ = audio.read_wav(torch_dir / f"target_{i}_{stem}.wav")
         cross = median_sdr(tx, jx)   # agreement between implementations
-        entry = {"cross_impl_sdr_db": round(cross, 2)}
+        entry = {"cross_impl_sdr_db": _num(cross)}
         if args.ref_dir:
-            ref = None
-            for p in Path(args.ref_dir).iterdir():
-                if stem in p.name.lower() and p.suffix == ".wav":
-                    ref, _ = audio.read_wav(p)
-                    break
-            if ref is None:
+            try:
+                ref, _ = audio.read_wav(_find_stem(Path(args.ref_dir), stem))
+            except FileNotFoundError:
                 print(f"warning: no {stem} ground truth in {args.ref_dir}",
                       file=sys.stderr)
-            else:
+                ref = None
+            if ref is not None:
                 s_jax = median_sdr(ref, jx)
                 s_torch = median_sdr(ref, tx)
-                entry.update({"jax_sdr_db": round(s_jax, 3),
-                              "torch_sdr_db": round(s_torch, 3),
-                              "delta_db": round(abs(s_jax - s_torch), 3)})
-                ok &= abs(s_jax - s_torch) <= args.tolerance_db
+                delta = abs(s_jax - s_torch)
+                entry.update({"jax_sdr_db": _num(s_jax),
+                              "torch_sdr_db": _num(s_torch),
+                              "delta_db": _num(delta)})
+                ok &= delta <= args.tolerance_db  # NaN compares False -> fail
+        else:
+            # no ground truth: gate on cross-implementation agreement
+            ok &= (cross == cross) and cross >= 30.0
         report[stem] = entry
 
     report["pass"] = bool(ok)

@@ -21,14 +21,22 @@ import argparse
 import io
 import json
 import sys
+import tempfile
+import threading
 import zipfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 
 import numpy as np
 
 
 def make_handler(session, options):
     from .. import audio
+
+    # ONE device user at a time: concurrent jit/execution on the single
+    # chip races the session's separator cache and can wedge tunneled
+    # TPU backends (FAILED_PRECONDITION; see CLAUDE.md).
+    device_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # route to stderr, not stdout
@@ -56,12 +64,12 @@ def make_handler(session, options):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
-                import tempfile
                 with tempfile.NamedTemporaryFile(suffix=".wav") as f:
                     f.write(raw)
                     f.flush()
                     track = audio.load_track(f.name)
-                stems = session.demix_track(track, options)
+                with device_lock:
+                    stems = session.demix_track(track, options)
             except (ValueError, OSError) as e:
                 self._json(400, {"error": str(e)})
                 return
@@ -69,12 +77,10 @@ def make_handler(session, options):
             buf = io.BytesIO()
             with zipfile.ZipFile(buf, "w") as z:
                 for i, name in enumerate(session.sources):
-                    wav_buf = io.BytesIO()
-                    import tempfile
                     with tempfile.NamedTemporaryFile(suffix=".wav") as f:
                         audio.write_wav(f.name, np.asarray(stems[i]))
-                        wav_buf.write(open(f.name, "rb").read())
-                    z.writestr(f"target_{i}_{name}.wav", wav_buf.getvalue())
+                        z.writestr(f"target_{i}_{name}.wav",
+                                   Path(f.name).read_bytes())
             body = buf.getvalue()
             self.send_response(200)
             self.send_header("Content-Type", "application/zip")
@@ -93,11 +99,7 @@ def make_server(model_path, port=0, segment_samples=None, batch=8):
 
     enable_compile_cache()
     session = DemixSession(model_path)
-    options = ApplyOptions(batch_size=batch)
-    if segment_samples:
-        options.segment_samples = segment_samples
-        options.max_shift_secs = min(options.max_shift_secs,
-                                     segment_samples / 44100.0 / 4)
+    options = ApplyOptions(batch_size=batch).with_segment(segment_samples)
     return ThreadingHTTPServer(("127.0.0.1", port),
                                make_handler(session, options))
 

@@ -63,11 +63,9 @@ def main(argv=None) -> int:
         with torch.no_grad():
             return model(torch.from_numpy(np.asarray(mix_batch))).numpy()
 
-    opts = ApplyOptions(batch_size=args.batch, shift_offset=args.offset)
-    if args.segment_samples:
-        opts.segment_samples = args.segment_samples
-        opts.max_shift_secs = min(opts.max_shift_secs,
-                                  args.segment_samples / 44100.0 / 4)
+    opts = ApplyOptions(batch_size=args.batch,
+                        shift_offset=args.offset).with_segment(
+                            args.segment_samples)
     sep = Separator(torch_fn, None, cfg.num_sources, opts, jit=False)
 
     track = audio.load_track(args.input)

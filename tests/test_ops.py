@@ -259,7 +259,7 @@ def test_conv_transpose_phase_paths_match_torch():
         got = np.asarray(ops.conv_transpose1d(jnp.asarray(x), jnp.asarray(w),
                                               jnp.asarray(b), stride=s,
                                               padding=p))
-        np.testing.assert_allclose(got, ref, atol=2e-5), (k, s, p)
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=str((k, s, p)))
     # 2d freq-axis: (8,1) stride (4,1) phase; (3,3) stride (2,2) fallback
     x = rng.standard_normal((2, 6, 10, 7)).astype(np.float32)
     for kh, kw, sh, sw, p in ((8, 1, 4, 1, 0), (8, 1, 4, 1, 2),
@@ -272,4 +272,4 @@ def test_conv_transpose_phase_paths_match_torch():
         got = np.asarray(ops.conv_transpose2d(
             jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), stride=(sh, sw),
             padding=(p, p if kw > 1 else 0)))
-        np.testing.assert_allclose(got, ref, atol=2e-5), (kh, sh)
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=str((kh, sh)))
