@@ -273,3 +273,35 @@ def test_conv_transpose_phase_paths_match_torch():
             jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), stride=(sh, sw),
             padding=(p, p if kw > 1 else 0)))
         np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=str((kh, sh)))
+
+
+def test_strided_conv_chunked_path_matches_torch():
+    """The chunked-einsum strided conv (stride | K) must be torch-exact
+    for every Demucs front-end shape, incl. non-multiple lengths."""
+    import torch
+    rng = np.random.default_rng(31)
+    for cin, cout, k, s, p, L in ((2, 8, 8, 4, 2, 101), (4, 8, 8, 4, 2, 64),
+                                  (8, 6, 4, 2, 1, 37), (3, 5, 6, 3, 0, 30),
+                                  (4, 8, 8, 4, 0, 40)):
+        x = rng.standard_normal((2, cin, L)).astype(np.float32)
+        w = rng.standard_normal((cout, cin, k)).astype(np.float32) * 0.3
+        b = rng.standard_normal(cout).astype(np.float32)
+        ref = torch.conv1d(torch.from_numpy(x), torch.from_numpy(w),
+                           torch.from_numpy(b), stride=s, padding=p).numpy()
+        got = np.asarray(ops.conv1d(jnp.asarray(x), jnp.asarray(w),
+                                    jnp.asarray(b), stride=s, padding=p))
+        np.testing.assert_allclose(got, ref, atol=2e-5,
+                                   err_msg=str((cin, k, s, p, L)))
+    # 2d freq-axis variant
+    for kh, sh, ph, H in ((8, 4, 2, 33), (8, 4, 0, 32), (4, 2, 1, 9)):
+        x = rng.standard_normal((2, 4, H, 5)).astype(np.float32)
+        w = rng.standard_normal((7, 4, kh, 1)).astype(np.float32) * 0.3
+        b = rng.standard_normal(7).astype(np.float32)
+        ref = torch.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                           torch.from_numpy(b), stride=(sh, 1),
+                           padding=(ph, 0)).numpy()
+        got = np.asarray(ops.conv2d(jnp.asarray(x), jnp.asarray(w),
+                                    jnp.asarray(b), stride=(sh, 1),
+                                    padding=(ph, 0)))
+        np.testing.assert_allclose(got, ref, atol=2e-5,
+                                   err_msg=str((kh, sh, ph, H)))
