@@ -96,8 +96,9 @@ def _overlap_add(frames: jnp.ndarray, hop: int = FFT_HOP_SIZE) -> jnp.ndarray:
 # XLA's TPU FFT is slow and HBM-heavy; a dense windowed DFT is ~180 GFLOP
 # per benchmark step, which the MXU does in ~1 ms. The Hann window and the
 # 1/sqrt(n) normalization are folded into the DFT matrices, so the matmul
-# consumes raw frames directly. f32 with HIGHEST precision (bf16x6 passes)
-# keeps ~1e-7 relative accuracy vs the FFT.
+# consumes raw frames directly. f32 operands at Precision.HIGH (3-pass
+# bf16 on TPU) keep ~1e-6 relative accuracy vs the FFT — far below the
+# fp16 weight noise the SDR targets tolerate.
 #
 # None = auto (matmul on TPU, FFT elsewhere); True/False forces.
 USE_MATMUL_DFT: bool | None = None
@@ -133,6 +134,59 @@ def _dft_inv_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
     scale = (s[:, None] / n) * w[None, :] * math.sqrt(n)
     return ((np.cos(ang) * scale).astype(np.float32),
             (-np.sin(ang) * scale).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_inv_conv_kernels(n: int, hop: int, in_bins: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse-DFT-plus-overlap-add as conv kernels (out=hop, in, k=ratio).
+
+    Output chunk k of the OLA waveform is sum_i frame[k-i] @ V[:, i*hop:
+    (i+1)*hop] — a kernel-size-`ratio` convolution along the frame axis
+    whose tap j holds block_{ratio-1-j}. The OLA additions happen inside
+    the conv's f32 accumulator on the MXU, so the (..., n_frames, n_fft)
+    windowed-frame tensor (178 MB at the v4 epilogue shape) is never
+    materialized. in_bins < n//2+1 drops top bins whose input would be
+    zero-padded anyway (the Demucs 2049th bin).
+    """
+    vr, vi = _dft_inv_mats(n)
+    ratio = n // hop
+
+    def mk(v: np.ndarray) -> np.ndarray:
+        blocks = v[:in_bins].reshape(in_bins, ratio, hop)
+        return np.ascontiguousarray(
+            np.transpose(blocks[:, ::-1, :], (2, 0, 1)))
+
+    return mk(vr), mk(vi)
+
+
+def _inv_dft_ola_conv(re: jnp.ndarray, im: jnp.ndarray, n_fft: int,
+                      hop: int, pad_t: int, fast: bool) -> jnp.ndarray:
+    """re/im: (..., F_bins, T) spectra -> (..., hop*(T + 2*pad_t + ratio - 1))
+    un-normalized OLA waveform. pad_t extra zero frames each side are
+    folded into the conv padding (the Demucs ispec re-pad)."""
+    in_bins, T = re.shape[-2:]
+    lead = re.shape[:-2]
+    B = int(np.prod(lead)) if lead else 1
+    ratio = n_fft // hop
+    kr, ki = _dft_inv_conv_kernels(n_fft, hop, in_bins)
+    dtype = jnp.bfloat16 if fast else jnp.float32
+
+    def conv(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
+        return jax.lax.conv_general_dilated(
+            x.reshape(B, in_bins, T).astype(dtype),
+            jnp.asarray(k, dtype),
+            window_strides=(1,),
+            padding=[(pad_t + ratio - 1, pad_t + ratio - 1)],
+            dimension_numbers=("NCH", "OIH", "NHC"),
+            precision=None if fast else jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32)
+
+    y = conv(re, kr) + conv(im, ki)        # (B, chunks, hop), f32
+    if fast:
+        y = y.astype(jnp.bfloat16)
+    chunks = y.shape[1]
+    return y.reshape(lead + (chunks * hop,))
 
 
 def _matmul(a: jnp.ndarray, b: np.ndarray,
@@ -193,11 +247,8 @@ def istft(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
     """
     n_frames = z.shape[-1]
     if _use_matmul():
-        zt = jnp.swapaxes(z, -1, -2)
-        vr, vi = _dft_inv_mats(n_fft)
-        wframes = (_matmul(jnp.real(zt), vr, fast)
-                   + _matmul(jnp.imag(zt), vi, fast))
-        y = _overlap_add(wframes, hop)
+        y = _inv_dft_ola_conv(jnp.real(z), jnp.imag(z), n_fft, hop,
+                              pad_t=0, fast=fast)
     else:
         zt = jnp.swapaxes(z, -1, -2) * math.sqrt(n_fft)  # undo normalized=True
         frames = jnp.fft.irfft(zt, n=n_fft, axis=-1)
@@ -258,14 +309,11 @@ def ispec_cac(x: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
 
     pad = hop // 2 * 3
     le = hop * (-(-length // hop)) + 2 * pad
-    padw = [(0, 0)] * (re.ndim - 2) + [(0, 1), (2, 2)]  # top bin + 2+2 frames
-    re = jnp.swapaxes(jnp.pad(re, padw), -1, -2)  # (..., T, F)
-    im = jnp.swapaxes(jnp.pad(im, padw), -1, -2)
-    n_frames = re.shape[-2]
-
-    vr, vi = _dft_inv_mats(n_fft)
-    wframes = _matmul(re, vr, fast) + _matmul(im, vi, fast)
-    y = _overlap_add(wframes, hop)
+    # the dropped top bin stays dropped (the conv kernel simply has no
+    # rows for it — its input would be zero); the 2+2 trimmed frames are
+    # folded into the conv padding
+    n_frames = re.shape[-1] + 4
+    y = _inv_dft_ola_conv(re, im, n_fft, hop, pad_t=2, fast=fast)
     y = _istft_epilogue(y, n_frames, le, n_fft, hop)
     return y[..., pad:pad + length]
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from .. import dsp, ops
 from ..config import HDemucsV3Config
+from ..utils.progress import report_stage
 from .htdemucs import (
     _hdec_layer_v3_common,
     _henc_layer,
@@ -104,15 +105,27 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     stdt = _std_unbiased(xt, (1, 2))
     xt = ((xt - meant) / (stdt + 1e-5)).astype(wdtype)
 
+    # stage accounting mirrors the reference's 22 v3 intra-segment steps
+    # (model_inference.cpp:584-736): spec + 8 encoder + tenc4 + fenc4 +
+    # enc5 + shared dec0 + dec1 + tdec0 + 8 common decoder... reported
+    # here as 22 marks
+    stage = iter(range(1, 23))
+
+    def mark(msg):
+        report_stage(next(stage) / 22, msg)
+
+    mark("spec + normalize")
     # --- encoders 0-3 (shared structure with v4)
     saved, savedt, lengths = [], [], []
     for i in range(4):
         lengths.append(xt.shape[-1])
         xt = _tenc_layer(xt, params["tencoder"][i])
+        mark(f"tencoder {i}")
         x = _henc_layer(x, params["encoder"][i])
         if i == 0:
             emb = params["freq_emb"]["embedding"]["weight"]
             x = x + cfg.freq_emb_scale * jnp.asarray(emb).T[None, :, :, None]
+        mark(f"encoder {i}")
         saved.append(x)
         savedt.append(xt)
 
@@ -136,6 +149,7 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     y = ops.conv1d(y, rw, e4["rewrite"]["bias"])
     y = ops.group_norm(y, e4["norm2"]["weight"], e4["norm2"]["bias"], 4)
     x4 = ops.glu(y, 1)                                   # (B, 768, T)
+    mark("tencoder 4 + freq encoder 4")
 
     # --- shared encoder 5 (time T -> T/2)
     e5 = params["encoder"][5]
@@ -147,6 +161,7 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     y = ops.conv1d(y, e5["rewrite"]["weight"], e5["rewrite"]["bias"])
     y = ops.group_norm(y, e5["norm2"]["weight"], e5["norm2"]["bias"], 4)
     x5 = ops.glu(y, 1)                                   # (B, 1536, T/2)
+    mark("shared encoder 5")
 
     # --- shared decoder 0 (input: zeros + skip x5) -> seeds both branches
     d0 = params["decoder"][0]
@@ -159,6 +174,7 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     y = ops.gelu(y)
     T4 = x4.shape[-1]
     xshared = y[:, :, 1:1 + T4]                          # (B, 768, T)
+    mark("shared decoder 0")
 
     # --- freq decoder 1: skip = x4, produces freq x_3 and the time seed
     d1 = params["decoder"][1]
@@ -172,6 +188,7 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
                              stride=(4, 1))
     y = ops.group_norm(y, d1["norm2"]["weight"], d1["norm2"]["bias"], 4)
     x = ops.gelu(y)                                      # (B, 384, 8, T)
+    mark("freq decoder 1")
 
     # --- time decoder 0: seeded by `pre` (src/encdec.cpp:700-726)
     td0 = params["tdecoder"][0]
@@ -181,11 +198,13 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     y = ops.group_norm(y, td0["norm2"]["weight"], td0["norm2"]["bias"], 4)
     y = ops.gelu(y)
     xt = y[:, :, 2:2 + xt4_len]                          # (B, 384, 1344)
+    mark("time decoder 0")
 
     # --- common decoders (no DConv, no norms)
     for k in range(4):
         last = k == 3
         x = _hdec_layer_v3_common(x, saved[3 - k], params["decoder"][k + 2], last)
+        mark(f"decoder {k + 2}")
         skipt = savedt[3 - k]
         dt = params["tdecoder"][k + 1]
         y = xt + skipt
@@ -196,6 +215,7 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
         if not last:
             y = ops.gelu(y)
         xt = y[:, :, 2:2 + lengths[3 - k]]
+        mark(f"tdecoder {k + 1}")
 
     # --- epilogue (same as v4)
     fast = wdtype == jnp.bfloat16

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .. import dsp, ops
 from ..config import HTDemucsConfig
+from ..utils.progress import report_stage
 
 
 def _fold_freq(x):
@@ -141,7 +142,7 @@ def _tdec_layer(xt: jnp.ndarray, skip: jnp.ndarray, p: dict, out_length: int,
 
 
 def crosstransformer(x: jnp.ndarray, xt: jnp.ndarray, p: dict,
-                     cfg: HTDemucsConfig):
+                     cfg: HTDemucsConfig, mark=lambda msg: None):
     """5-layer cross-domain transformer (reference src/crosstransformer.cpp).
 
     Freq tokens are `b c fr t -> b (t fr) c` with a 2-D sincos embedding;
@@ -170,6 +171,7 @@ def crosstransformer(x: jnp.ndarray, xt: jnp.ndarray, p: dict,
             old_x = xtok
             xtok = ops.transformer_layer(xtok, ttok, p["layers"][li], cfg.t_heads)
             ttok = ops.transformer_layer(ttok, old_x, p["layers_t"][li], cfg.t_heads)
+        mark(f"transformer layer {li}")
 
     x = jnp.transpose(xtok.reshape(B, T1, Fr, C), (0, 3, 2, 1))
     xt = jnp.swapaxes(ttok, 1, 2)
@@ -211,15 +213,27 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
     stdt = _std_unbiased(xt, (1, 2))
     xt = ((xt - meant) / (stdt + 1e-5)).astype(wdtype)
 
-    # --- encoders (interleaved, skips saved)
+    # --- encoders (interleaved, skips saved). Stage accounting mirrors
+    # the reference's 26 intra-segment steps (model_inference.cpp:156-346):
+    # 1 spec + 8 encoder + 1 up + 5 transformer + 1 down + 8 decoder +
+    # 2 epilogue = 26.
+    n_stages = 2 * 2 * cfg.depth + cfg.t_layers + 5
+    stage = iter(range(1, n_stages + 1))
+
+    def mark(msg):
+        report_stage(next(stage) / n_stages, msg)
+
+    mark("spec + normalize")
     saved, savedt, lengths = [], [], []
     for i in range(cfg.depth):
         lengths.append(xt.shape[-1])
         xt = _tenc_layer(xt, params["tencoder"][i])
+        mark(f"tencoder {i}")
         x = _henc_layer(x, params["encoder"][i])
         if i == 0:
             emb = params["freq_emb"]["embedding"]["weight"]  # (F/4, C0)
             x = x + cfg.freq_emb_scale * jnp.asarray(emb).T[None, :, :, None]
+        mark(f"encoder {i}")
         saved.append(x)
         savedt.append(xt)
 
@@ -232,8 +246,9 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
         x = xf.reshape(Bc, cfg.bottom_channels, Fc, Tc)
         xt = ops.conv1d(xt, params["channel_upsampler_t"]["weight"],
                         params["channel_upsampler_t"]["bias"])
+    mark("channel upsample")
 
-    x, xt = crosstransformer(x, xt, params["crosstransformer"], cfg)
+    x, xt = crosstransformer(x, xt, params["crosstransformer"], cfg, mark)
 
     if cfg.bottom_channels:
         Bc, Cc, Fc, Tc = x.shape
@@ -243,13 +258,16 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
         x = xf.reshape(Bc, cfg.enc_channels[-1], Fc, Tc)
         xt = ops.conv1d(xt, params["channel_downsampler_t"]["weight"],
                         params["channel_downsampler_t"]["bias"])
+    mark("channel downsample")
 
     # --- decoders (skips consumed innermost-first)
     for i in range(cfg.depth):
         last = i == cfg.depth - 1
         x = _hdec_layer(x, saved[cfg.depth - 1 - i], params["decoder"][i], last)
+        mark(f"decoder {i}")
         xt = _tdec_layer(xt, savedt[cfg.depth - 1 - i], params["tdecoder"][i],
                          lengths[cfg.depth - 1 - i], last)
+        mark(f"tdecoder {i}")
 
     # --- epilogue: denorm, un-CaC, ISTFT, sum with time branch
     fast = wdtype == jnp.bfloat16
@@ -261,7 +279,10 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
         # padded/transposed spectra materialize at half the bytes
         x = x.astype(jnp.bfloat16)
     wave_spec = dsp.ispec_cac(x, L, cfg.nfft, fast=fast)  # (B, S, 2, L)
+    mark("istft")
 
     xt = xt.astype(jnp.float32) * stdt + meant      # (B, S*2, L)
     xt = xt.reshape(B, S, cfg.audio_channels, L)
-    return wave_spec + xt
+    out = wave_spec + xt
+    mark("sum branches")
+    return out

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .norms import gelu, group_norm, layer_norm
+from .norms import gelu, layer_norm
 
 # Flash-attention kernel gate: None = auto (on for TPU backends),
 # True/False forces. The pallas path never materializes the (B,H,T,S)
@@ -108,7 +108,16 @@ def transformer_layer(x: jnp.ndarray, kv: jnp.ndarray | None, p: dict,
     h = linear(h, p["linear2"]["weight"], p["linear2"]["bias"])
     x = x + h * p["gamma_2"]["scale"]
 
-    # norm_out: GroupNorm(1, C) applied channel-first
-    xt = jnp.swapaxes(x, 1, 2)
-    xt = group_norm(xt, p["norm_out"]["weight"], p["norm_out"]["bias"], 1, eps)
-    return jnp.swapaxes(xt, 1, 2)
+    # norm_out: GroupNorm(1, C) applied channel-first. With one group the
+    # statistics cover every (token, channel) element per batch item, so
+    # the norm runs directly on (B, T, C) — transposing to channel-first
+    # and back (as a literal GroupNorm call would) costs two full-size
+    # layout copies per layer on TPU (measured ~0.85 ms each at the v4
+    # bottleneck shape; 10 layer applications per step).
+    xf = x.astype(jnp.float32)
+    mean = xf.mean((1, 2), keepdims=True)
+    var = jnp.square(xf - mean).mean((1, 2), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    w = p["norm_out"]["weight"].astype(jnp.float32)
+    b = p["norm_out"]["bias"].astype(jnp.float32)
+    return (y * w + b).astype(x.dtype)

@@ -15,8 +15,17 @@ import jax.numpy as jnp
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     """Exact (erf) GELU, as PyTorch nn.GELU() default and reference
-    src/layers.hpp:51-63."""
-    return jax.nn.gelu(x, approximate=False)
+    src/layers.hpp:51-63.
+
+    Written as 0.5*x*(1+erf(x/sqrt(2))) rather than jax.nn.gelu's
+    erfc(-x/sqrt(2)) form: XLA's TPU erfc expansion (branchy, for
+    far-tail accuracy we don't need — gelu is ~1e-9 absolute where the
+    forms differ) splits across fusions and materializes several f32
+    copies of the activation in HBM (measured 2.4 ms for one decoder
+    GELU at (8,48,516,336)); the erf form fuses into a single pass."""
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + jax.lax.erf(xf * 0.7071067811865476))
+    return y.astype(x.dtype)
 
 
 def glu(x: jnp.ndarray, axis: int) -> jnp.ndarray:

@@ -55,6 +55,12 @@ def make_multihost_mesh(tp: int = 1, bag: int = 1) -> Mesh:
     dcn_dp = n_hosts // dcn_bag
     if n_hosts == 1:  # single host: no DCN dimension exists
         return make_mesh(tp=tp, bag=bag)
+    if shape[1] % dcn_dp:
+        raise ValueError(
+            f"dp={shape[1]} (from {n} devices / tp={tp} / bag={bag}) is not "
+            f"divisible by the {dcn_dp} hosts left after the bag axis "
+            f"absorbs {dcn_bag} of {n_hosts}; choose tp/bag so the "
+            "data-parallel axis splits evenly across hosts")
     devices = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(shape[0] // dcn_bag, shape[1] // dcn_dp, shape[2]),
         dcn_mesh_shape=(dcn_bag, dcn_dp, 1),

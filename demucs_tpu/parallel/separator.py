@@ -35,11 +35,27 @@ def make_sharded_fn(model_fn, mesh: Mesh, params, bag_stacked: bool = False):
     """
     pspecs = param_pspecs(params, mesh, bag_stacked)
     p_shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
-    placed = jax.tree.map(
-        lambda x, sh: jax.device_put(jnp.asarray(x), sh), params, p_shardings
-    )
+    multihost = jax.process_count() > 1
+    if multihost:
+        # every process holds the full (replicated-on-host) param copy;
+        # build global arrays by answering per-shard index callbacks —
+        # device_put of host data onto non-addressable devices is not
+        # allowed across processes
+        placed = jax.tree.map(
+            lambda x, sh: jax.make_array_from_callback(
+                np.shape(x), sh,
+                lambda idx, _x=np.asarray(x): _x[idx]),
+            params, p_shardings)
+    else:
+        placed = jax.tree.map(
+            lambda x, sh: jax.device_put(jnp.asarray(x), sh),
+            params, p_shardings)
     in_sharding = NamedSharding(mesh, batch_pspec(3))
-    out_sharding = NamedSharding(mesh, batch_pspec(4))
+    # multihost: replicate the output so every process can fetch its
+    # stems without a cross-process gather
+    out_sharding = NamedSharding(
+        mesh, batch_pspec(4) if not multihost else
+        jax.sharding.PartitionSpec())
     fn = jax.jit(
         model_fn,
         in_shardings=(p_shardings, in_sharding),
@@ -113,6 +129,17 @@ class ShardedSeparator(Separator):
         self.mesh = mesh
         self.options = options
         self.num_sources = num_sources
+        if options.fine_progress:
+            from ..utils.progress import stage_tracing
+
+            inner_fn = model_fn
+
+            def model_fn(p, m):
+                # trace-time wrapper: embeds the intra-segment stage
+                # markers (see pipeline.Separator) in the SPMD graph
+                with stage_tracing():
+                    return inner_fn(p, m)
+
         if bag_stacked:
             self._fn, self.params, self._in_sharding = make_bag_fn(
                 model_fn, mesh, params)
@@ -129,9 +156,26 @@ class ShardedSeparator(Separator):
             batch = np.concatenate(
                 [batch, np.zeros((padded_n - n,) + batch.shape[1:], batch.dtype)])
         outs = []
+        n_calls = padded_n // bs
+        multihost = jax.process_count() > 1
         for i in range(0, padded_n, bs):
-            chunk = jax.device_put(batch[i:i + bs], self._in_sharding)
-            outs.append(self._call_device(chunk))
+            if multihost:  # all processes see the same full track
+                chunk = jax.make_array_from_callback(
+                    batch[i:i + bs].shape, self._in_sharding,
+                    lambda idx, _b=batch[i:i + bs]: _b[idx])
+            else:
+                chunk = jax.device_put(batch[i:i + bs], self._in_sharding)
+            if self.options.fine_progress:
+                from ..utils.progress import stage_sink
+                done = i // bs
+
+                def to_global(frac, msg, _done=done):
+                    progress((_done + frac) / n_calls, msg)
+
+                with stage_sink(to_global):
+                    outs.append(self._call_device(chunk))
+            else:
+                outs.append(self._call_device(chunk))
             progress(min((i + bs) / padded_n, 1.0),
                      f"segments {min(i + bs, n)}/{n}")
         return np.concatenate(outs)[:n]

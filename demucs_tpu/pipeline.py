@@ -43,6 +43,10 @@ class ApplyOptions:
     shift_seed: int = 1337
     batch_size: int = 8               # segments per device call
     dtype: np.dtype = np.float32
+    # intra-segment stage progress (reference's 26 steps per segment,
+    # src/model_inference.cpp:156-346) via jax.debug.callback markers;
+    # off by default to keep the hot graph callback-free
+    fine_progress: bool = False
 
     def with_segment(self, segment_samples: int | None) -> "ApplyOptions":
         """Copy with a shorter segment; the shift pad must stay well
@@ -126,7 +130,18 @@ class Separator:
         self.num_sources = num_sources
         if jit:
             self.params = jax.tree.map(jnp.asarray, params)
-            self._fn = jax.jit(model_fn)
+            if self.options.fine_progress:
+                from .utils.progress import stage_tracing
+
+                def traced(p, m):
+                    # the wrapper body runs at trace time, so the stage
+                    # markers are compiled in; the sink is bound per call
+                    with stage_tracing():
+                        return model_fn(p, m)
+
+                self._fn = jax.jit(traced)
+            else:
+                self._fn = jax.jit(model_fn)
         else:  # host-side model (e.g. the torch oracle, tools/torch_inference)
             self.params = params
             self._fn = model_fn
@@ -150,11 +165,22 @@ class Separator:
         n = batch.shape[0]
         outs = []
         padded_n = math.ceil(n / bs) * bs
+        n_calls = padded_n // bs
         if padded_n != n:
             batch = np.concatenate(
                 [batch, np.zeros((padded_n - n,) + batch.shape[1:], batch.dtype)])
         for i in range(0, padded_n, bs):
-            outs.append(self._call_device(jnp.asarray(batch[i:i + bs])))
+            if self.options.fine_progress:
+                from .utils.progress import stage_sink
+                done = i // bs
+
+                def to_global(frac, msg, _done=done):
+                    progress((_done + frac) / n_calls, msg)
+
+                with stage_sink(to_global):
+                    outs.append(self._call_device(jnp.asarray(batch[i:i + bs])))
+            else:
+                outs.append(self._call_device(jnp.asarray(batch[i:i + bs])))
             progress(min((i + bs) / padded_n, 1.0),
                      f"segments {min(i + bs, n)}/{n}")
         return np.concatenate(outs)[:n]
@@ -172,8 +198,12 @@ class Separator:
 
         # --- shift trick
         max_shift = int(o.max_shift_secs * C.SAMPLE_RATE)
-        offset = (o.shift_offset if o.shift_offset is not None
-                  else np.random.default_rng(o.shift_seed).integers(0, max_shift))
+        if o.shift_offset is not None:
+            offset = o.shift_offset
+        elif max_shift == 0:  # max_shift_secs=0 means "no shift"
+            offset = 0
+        else:
+            offset = np.random.default_rng(o.shift_seed).integers(0, max_shift)
         offset = int(offset)
         padded = np.zeros((audio.shape[0], N + 2 * max_shift), o.dtype)
         padded[:, max_shift:max_shift + N] = normalized

@@ -30,7 +30,10 @@ from pathlib import Path
 import numpy as np
 
 
-def make_handler(session, options):
+MAX_BODY_BYTES = 256 * 1024 * 1024  # ~50 min of stereo f32 wav
+
+
+def make_handler(session, options, max_body=MAX_BODY_BYTES):
     from .. import audio
 
     # ONE device user at a time: concurrent jit/execution on the single
@@ -61,8 +64,15 @@ def make_handler(session, options):
             if self.path != "/separate":
                 self._json(404, {"error": "unknown path"})
                 return
+            n = int(self.headers.get("Content-Length", 0))
+            if n > max_body:
+                # refuse before reading: ThreadingHTTPServer would hold
+                # every oversized body in RAM while serialized behind
+                # the device lock
+                self._json(413, {"error": f"body {n} bytes exceeds "
+                                          f"limit {max_body}"})
+                return
             try:
-                n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
                 with tempfile.NamedTemporaryFile(suffix=".wav") as f:
                     f.write(raw)

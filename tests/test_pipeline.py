@@ -98,3 +98,35 @@ def test_stage_timer_report():
     sep(audio, progress=timer)
     report = timer.report()
     assert "segments" in report and "stage_s" in report
+
+
+def test_fine_progress_reports_intra_segment_stages():
+    """fine_progress=True embeds the reference's intra-segment stage
+    markers (26 per v4 segment, reference src/model_inference.cpp:156-346)
+    and routes them through the ProgressCallback."""
+    from demucs_tpu import params as P
+    from demucs_tpu.config import HTDemucsConfig
+    from demucs_tpu.models import htdemucs_segment
+
+    cfg = HTDemucsConfig()
+    params = P.unflatten_tree(P.init_flat(P.htdemucs_schema(cfg), seed=0))
+    opts = ApplyOptions(segment_samples=1024 * 16, batch_size=2,
+                        shift_offset=0, fine_progress=True)
+    sep = Separator(lambda p, m: htdemucs_segment(p, m, cfg), params,
+                    num_sources=cfg.num_sources, options=opts)
+    events = []
+    audio = np.random.default_rng(5).standard_normal((2, 20000)).astype(
+        np.float32) * 0.1
+    sep(audio, progress=lambda f, m: events.append((f, m)))
+    msgs = [m for _, m in events]
+    assert "spec + normalize" in msgs
+    assert "transformer layer 4" in msgs
+    assert "tdecoder 3" in msgs
+    assert sum(m.startswith("segments") for m in msgs) >= 1
+    # fractions are monotone within a batch and bounded by 1
+    fracs = [f for f, _ in events]
+    assert all(0 <= f <= 1 for f in fracs)
+    # 26 stages per device call, plus the per-batch reports
+    stage_msgs = [m for m in msgs
+                  if not m.startswith(("segments", "apply model"))]
+    assert len(stage_msgs) % 26 == 0 and stage_msgs

@@ -75,3 +75,51 @@ def test_fp8_segment_output_close_to_fp32():
     out = np.asarray(qfn(quantize_fp8(params), jnp.asarray(mix)))
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 0.12, err  # e4m3 is coarser than per-channel int8
+
+
+def test_int8_survives_into_compiled_executable():
+    """The quantized leaves must enter the XLA program as s8 parameters
+    (that is what crosses HBM) with the dequant multiply fused into
+    consumers — no standalone top-level convert materializing a dense
+    fp copy (north-star: BASELINE.json fused dequant+matmul; reference
+    anchor src/model_load.cpp:1092-1300 fp16->fp32-on-load)."""
+    import re
+
+    from demucs_tpu.params.quant import quantize_int8, quantized_model_fn
+
+    cfg = HTDEMUCS_4S
+    tree = P.unflatten_tree(P.init_flat(P.htdemucs_schema(cfg), seed=0))
+    q = quantize_int8(tree)
+    q = jax.tree.map(jnp.asarray, q)
+    mix = jnp.zeros((1, 2, 4096 * 4), jnp.float32)
+    fn = jax.jit(quantized_model_fn(
+        lambda p, m: htdemucs_segment(p, m, cfg)))
+    compiled = fn.lower(q, mix).compile()
+    txt = compiled.as_text()
+
+    # 1) s8 parameters exist in the optimized module (int8 storage)
+    n_s8_params = len(re.findall(r"parameter\(\d+\).*\bs8\[", txt)) or \
+        len(re.findall(r"s8\[[0-9,]*\]\S* parameter", txt)) or \
+        txt.count("= s8[")
+    assert "s8[" in txt, "no int8 tensors in the compiled module"
+
+    # 2) every top-level (entry-computation) op that converts a big s8
+    #    weight must be inside a fusion, not a standalone full-size
+    #    convert; standalone converts would mean XLA materialized a
+    #    dense fp copy in HBM
+    entry = txt.split("ENTRY")[-1]
+    standalone = [ln for ln in entry.splitlines()
+                  if re.search(r"^\s*%?\S+ = f3?2?\S*\[\S*\] convert\(",
+                               ln) and "s8[" in ln]
+    assert not standalone, standalone[:3]
+
+
+def test_quantized_bytes_report_shrinks():
+    from demucs_tpu.params.quant import quantize_int8, quantized_bytes
+
+    tree = P.unflatten_tree(P.init_flat(P.htdemucs_schema(HTDEMUCS_4S),
+                                        seed=0))
+    dense_bytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(tree))
+    q_bytes = quantized_bytes(quantize_int8(tree))
+    # int8 storage should cut total parameter bytes by >2.5x vs f32
+    assert q_bytes < dense_bytes / 2.5

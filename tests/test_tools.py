@@ -47,13 +47,28 @@ def test_sdr_cli(tmp_path, capsys):
         audio.write_wav(est_dir / f"target_0_{stem}.wav",
                         x + 0.03 * rng.standard_normal(x.shape)
                         .astype(np.float32))
-    rc = sdr_main([str(ref_dir), str(est_dir)])
-    assert rc == 0
     import json
+
+    rc = sdr_main([str(ref_dir), str(est_dir), "--sdr-only"])
+    assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert set(out) == {"drums", "bass", "other", "vocals"}
     for v in out.values():
         assert 18 < v < 22
+
+    # full BSS-eval v4 set (SDR/ISR/SIR/SAR like museval; reference
+    # scripts/evaluate-demixed-output.py:20-44)
+    rc = sdr_main([str(ref_dir), str(est_dir)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    for stem, m in out.items():
+        assert set(m) == {"SDR", "ISR", "SIR", "SAR"}
+        assert 18 < m["SDR"] < 22
+        # independent white-noise corruption: interference projection is
+        # tiny (SIR very high), artifacts dominate (SAR ~ SDR)
+        assert m["SIR"] > m["SDR"]
+        assert 17 < m["SAR"] < 23
+        assert m["ISR"] > m["SDR"]  # spatial error is a subset of total
 
 
 def test_torch_inference_matches_jax_cli(tmp_path):
