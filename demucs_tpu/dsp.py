@@ -318,6 +318,68 @@ def ispec_cac(x: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
     return y[..., pad:pad + length]
 
 
+def cac_pack_fmajor(z: jnp.ndarray) -> jnp.ndarray:
+    """Complex-as-channels, frequency-major: (B, C, F, T) complex ->
+    (B, F, 2C, T) real with channel order [re_c0, im_c0, re_c1, im_c1]
+    (reference src/model_inference.cpp:88-99). The htdemucs frequency
+    branch flows in this layout (see models/htdemucs.py)."""
+    B, C, F, T = z.shape
+    re = jnp.real(z)
+    im = jnp.imag(z)
+    stacked = jnp.stack([re, im], axis=2)            # (B, C, 2, F, T)
+    return jnp.transpose(stacked, (0, 3, 1, 2, 4)).reshape(B, F, 2 * C, T)
+
+
+def ispec_cac_fmajor(x: jnp.ndarray, sources: int, length: int,
+                     n_fft: int = FFT_WINDOW_SIZE, hop: int = FFT_HOP_SIZE,
+                     fast: bool = False) -> jnp.ndarray:
+    """Fused un-CaC + ispec for F-major spectra: (B, F, S*2C, T) ->
+    (B, S, C, length).
+
+    The inverse-DFT-plus-OLA conv consumes F directly as its feature
+    axis (channels ride along as an extra kernel-1 spatial dim), so no
+    transpose of the full-size spectrum is ever needed — the conv's
+    output (B, S*C, chunks, hop) is sample-contiguous by construction.
+    """
+    if not _use_matmul():
+        xs = jnp.swapaxes(x, 1, 2)                   # (B, S*2C, F, T)
+        xs = xs.reshape(xs.shape[0], sources, -1, *xs.shape[-2:])
+        return ispec(cac_unpack(xs.astype(jnp.float32)), length, n_fft, hop,
+                     fast)
+    B, F, SC2, T = x.shape
+    C = SC2 // sources // 2
+    xs = x.reshape(B, F, sources * C, 2, T)
+    re, im = xs[..., 0, :], xs[..., 1, :]            # (B, F, S*C, T)
+
+    pad = hop // 2 * 3
+    le = hop * (-(-length // hop)) + 2 * pad
+    ratio = n_fft // hop
+    kr, ki = _dft_inv_conv_kernels(n_fft, hop, F)
+    dtype = jnp.bfloat16 if fast else jnp.float32
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(0, 1, 2, 3),   # (batch, feature=F, spatial SC, T)
+        rhs_spec=(0, 1, 2, 3),   # (out=hop, in=F, 1, ratio)
+        out_spec=(0, 3, 1, 2))   # (batch, SC, chunks, feature=hop)
+
+    def conv(v, k):
+        return jax.lax.conv_general_dilated(
+            v.astype(dtype), jnp.asarray(k, dtype)[:, :, None, :],
+            window_strides=(1, 1),
+            padding=[(0, 0), (2 + ratio - 1, 2 + ratio - 1)],
+            dimension_numbers=dn,
+            precision=None if fast else jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32)
+
+    y = conv(re, kr) + conv(im, ki)                  # (B, S*C, chunks, hop)
+    if fast:
+        y = y.astype(jnp.bfloat16)
+    chunks = y.shape[2]
+    y = y.reshape(B, sources, C, chunks * hop)
+    n_frames = T + 4
+    y = _istft_epilogue(y, n_frames, le, n_fft, hop)
+    return y[..., pad:pad + length]
+
+
 def cac_pack(z: jnp.ndarray) -> jnp.ndarray:
     """Complex-as-channels: (..., C, F, T) complex -> (..., 2C, F, T) real.
 

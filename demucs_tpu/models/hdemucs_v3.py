@@ -94,7 +94,7 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     wdtype = jnp.asarray(params["encoder"][0]["conv"]["weight"]).dtype
 
     z = dsp.spec(mix.astype(jnp.float32), cfg.nfft)
-    x = dsp.cac_pack(z)
+    x = dsp.cac_pack_fmajor(z)                # F-major (B, F, 2C, T)
 
     mean = x.mean((1, 2, 3), keepdims=True)
     std = _std_unbiased(x, (1, 2, 3))
@@ -124,7 +124,7 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
         x = _henc_layer(x, params["encoder"][i])
         if i == 0:
             emb = params["freq_emb"]["embedding"]["weight"]
-            x = x + cfg.freq_emb_scale * jnp.asarray(emb).T[None, :, :, None]
+            x = x + cfg.freq_emb_scale * jnp.asarray(emb)[None, :, :, None]
         mark(f"encoder {i}")
         saved.append(x)
         savedt.append(xt)
@@ -139,9 +139,9 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
 
     # --- freq encoder 4 with time injection (freq 8 -> 1, merged branch)
     e4 = params["encoder"][4]
-    y = ops.conv2d(x, e4["conv"]["weight"], e4["conv"]["bias"],
-                   stride=(4, 1), padding=(0, 0))        # (B, 768, 1, T)
-    y = y[:, :, 0, :] + xt4                              # inject time branch
+    y = ops.freq_conv_fmajor(x, e4["conv"]["weight"], e4["conv"]["bias"],
+                             stride=4, padding=0)        # (B, 1, 768, T)
+    y = y[:, 0] + xt4                                    # inject time branch
     y = ops.group_norm(y, e4["norm1"]["weight"], e4["norm1"]["bias"], 4)
     y = ops.gelu(y)
     y = dconv_lstm_attn(y, e4["dconv"]["layers"])
@@ -177,22 +177,23 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     mark("shared decoder 0")
 
     # --- freq decoder 1: skip = x4, produces freq x_3 and the time seed
+    # (F-major: the F axis is size 1 here, reinstated for the 2-D convs)
     d1 = params["decoder"][1]
-    y = (xshared + x4)[:, :, None, :]                    # (B, 768, 1, T)
-    y = ops.conv2d(y, d1["rewrite"]["weight"], d1["rewrite"]["bias"],
-                   padding=(1, 1))
-    y = ops.group_norm(y, d1["norm1"]["weight"], d1["norm1"]["bias"], 4)
-    y = ops.glu(y, 1)
-    pre = y                                              # (B, 768, 1, T)
-    y = ops.conv_transpose2d(y, d1["conv_tr"]["weight"], d1["conv_tr"]["bias"],
-                             stride=(4, 1))
-    y = ops.group_norm(y, d1["norm2"]["weight"], d1["norm2"]["bias"], 4)
-    x = ops.gelu(y)                                      # (B, 384, 8, T)
+    y = (xshared + x4)[:, None, :, :]                    # (B, 1, 768, T)
+    y = ops.freq_conv3x3_fmajor(y, d1["rewrite"]["weight"],
+                                d1["rewrite"]["bias"])
+    y = ops.group_norm_fmajor(y, d1["norm1"]["weight"], d1["norm1"]["bias"], 4)
+    y = ops.glu(y, 2)
+    pre = y                                              # (B, 1, 768, T)
+    y = ops.freq_convtr_fmajor(y, d1["conv_tr"]["weight"],
+                               d1["conv_tr"]["bias"], stride=4)
+    y = ops.group_norm_fmajor(y, d1["norm2"]["weight"], d1["norm2"]["bias"], 4)
+    x = ops.gelu(y)                                      # (B, 8, 384, T)
     mark("freq decoder 1")
 
     # --- time decoder 0: seeded by `pre` (src/encdec.cpp:700-726)
     td0 = params["tdecoder"][0]
-    y = pre[:, :, 0, :]
+    y = pre[:, 0]
     y = ops.conv_transpose1d(y, td0["conv_tr"]["weight"], td0["conv_tr"]["bias"],
                              stride=4)
     y = ops.group_norm(y, td0["norm2"]["weight"], td0["norm2"]["bias"], 4)
@@ -217,13 +218,12 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
         xt = y[:, :, 2:2 + lengths[3 - k]]
         mark(f"tdecoder {k + 1}")
 
-    # --- epilogue (same as v4)
+    # --- epilogue (same as v4; x is F-major (B, 2048, S*4, T))
     fast = wdtype == jnp.bfloat16
     x = x.astype(jnp.float32) * std + mean
-    x = x.reshape(B, S, 4, x.shape[-2], x.shape[-1])
     if fast:
         x = x.astype(jnp.bfloat16)
-    wave_spec = dsp.ispec_cac(x, L, cfg.nfft, fast=fast)
+    wave_spec = dsp.ispec_cac_fmajor(x, S, L, cfg.nfft, fast=fast)
 
     xt = xt.astype(jnp.float32) * stdt + meant
     xt = xt.reshape(B, S, cfg.audio_channels, L)

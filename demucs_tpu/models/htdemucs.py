@@ -25,21 +25,26 @@ from ..config import HTDemucsConfig
 from ..utils.progress import report_stage
 
 
-def _fold_freq(x):
-    """(B, C, F, T) -> (B*F, C, T) for time-wise per-frequency ops.
+# The frequency branch flows in F-major (B, F, C, T) layout end to end
+# (see ops/conv.py F-major helpers): the `(b f) c t` DConv fold becomes
+# a pure reshape instead of a transpose, and every freq-axis conv works
+# on the major F axis, so the minor (C, T) tile layout never changes.
+# (Round-1 channel-major design paid ~1 ms of tiled-copy per fold/unfold
+# at the level-0 shape, ~10+ ms per step total; the earlier negative
+# result — unfolded (1, k) conv2d 16% slower — was about conv lowering,
+# not about which axis is major.)
 
-    (Measured: keeping the 4D layout with (1, k) convs and per-(b, f)
-    norms is numerically identical but ~16% slower end-to-end on TPU —
-    XLA lowers the folded conv1d batch better. The fold stays.)
-    """
-    B, C, F, T = x.shape
-    return jnp.transpose(x, (0, 2, 1, 3)).reshape(B * F, C, T), (B, F)
+
+def _fold_freq(x):
+    """(B, F, C, T) -> (B*F, C, T): pure reshape in F-major layout."""
+    B, F, C, T = x.shape
+    return x.reshape(B * F, C, T), (B, F)
 
 
 def _unfold_freq(y, bf):
     B, F = bf
     BF, C, T = y.shape
-    return jnp.transpose(y.reshape(B, F, C, T), (0, 2, 1, 3))
+    return y.reshape(B, F, C, T)
 
 
 def dconv(x: jnp.ndarray, blocks: list) -> jnp.ndarray:
@@ -70,15 +75,15 @@ def dconv_freq(x: jnp.ndarray, blocks: list) -> jnp.ndarray:
     return _unfold_freq(yf, bf)
 
 
-def _henc_layer(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """Freq encoder layer: conv(8,1)/(4,1) + GELU -> DConv -> 1x1 rewrite
-    -> GLU (reference src/encdec.cpp:8-80)."""
-    y = ops.conv2d(x, p["conv"]["weight"], p["conv"]["bias"],
-                   stride=(4, 1), padding=(2, 0))
+def _henc_layer(x: jnp.ndarray, p: dict, padding: int = 2) -> jnp.ndarray:
+    """Freq encoder layer on (B, F, C, T): conv(8,1)/(4,1) + GELU ->
+    DConv -> 1x1 rewrite -> GLU (reference src/encdec.cpp:8-80)."""
+    y = ops.freq_conv_fmajor(x, p["conv"]["weight"], p["conv"]["bias"],
+                             stride=4, padding=padding)
     y = ops.gelu(y)
     y = dconv_freq(y, p["dconv"]["layers"])
-    y = ops.conv2d(y, p["rewrite"]["weight"], p["rewrite"]["bias"])
-    return ops.glu(y, 1)
+    y = ops.freq_conv1x1_fmajor(y, p["rewrite"]["weight"], p["rewrite"]["bias"])
+    return ops.glu(y, 2)
 
 
 def _tenc_layer(xt: jnp.ndarray, p: dict) -> jnp.ndarray:
@@ -97,34 +102,33 @@ def _tenc_layer(xt: jnp.ndarray, p: dict) -> jnp.ndarray:
 
 
 def _hdec_layer(x: jnp.ndarray, skip: jnp.ndarray, p: dict, last: bool) -> jnp.ndarray:
-    """Freq decoder layer: +skip -> 3x3 rewrite -> GLU -> DConv ->
-    transposed conv(8,1)/(4,1) [+GELU unless last] -> trim 2+2 freq rows
+    """Freq decoder layer on (B, F, C, T): +skip -> 3x3 rewrite -> GLU
+    -> DConv -> transposed conv(8,1)/(4,1) [+GELU unless last] -> trim
+    2+2 freq rows, folded into the conv_tr padding
     (reference src/encdec.cpp:166-256)."""
     y = x + skip
-    y = ops.conv2d(y, p["rewrite"]["weight"], p["rewrite"]["bias"],
-                   padding=(1, 1))
-    y = ops.glu(y, 1)
+    y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"], p["rewrite"]["bias"])
+    y = ops.glu(y, 2)
     y = dconv_freq(y, p["dconv"]["layers"])
-    y = ops.conv_transpose2d(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
-                             stride=(4, 1))
+    y = ops.freq_convtr_fmajor(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
+                               stride=4, padding=2)
     if not last:
         y = ops.gelu(y)
-    return y[:, :, 2:-2, :]
+    return y
 
 
 def _hdec_layer_v3_common(x: jnp.ndarray, skip: jnp.ndarray, p: dict,
                           last: bool) -> jnp.ndarray:
-    """v3 common freq decoder: like _hdec_layer but without DConv
-    (reference src/encdec.cpp:728-863)."""
+    """v3 common freq decoder on (B, F, C, T): like _hdec_layer but
+    without DConv (reference src/encdec.cpp:728-863)."""
     y = x + skip
-    y = ops.conv2d(y, p["rewrite"]["weight"], p["rewrite"]["bias"],
-                   padding=(1, 1))
-    y = ops.glu(y, 1)
-    y = ops.conv_transpose2d(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
-                             stride=(4, 1))
+    y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"], p["rewrite"]["bias"])
+    y = ops.glu(y, 2)
+    y = ops.freq_convtr_fmajor(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
+                               stride=4, padding=2)
     if not last:
         y = ops.gelu(y)
-    return y[:, :, 2:-2, :]
+    return y
 
 
 def _tdec_layer(xt: jnp.ndarray, skip: jnp.ndarray, p: dict, out_length: int,
@@ -149,14 +153,14 @@ def crosstransformer(x: jnp.ndarray, xt: jnp.ndarray, p: dict,
     time tokens get a 1-D embedding. Layers 0/2/4 are per-branch
     self-attention; layers 1/3 cross-attend (freq queries current time
     tokens, time queries the *pre-update* freq tokens,
-    src/crosstransformer.cpp:285-296).
+    src/crosstransformer.cpp:285-296). x arrives F-major (B, Fr, C, T).
     """
-    B, C, Fr, T1 = x.shape
+    B, Fr, C, T1 = x.shape
     T2 = xt.shape[-1]
 
     pe2d = ops.create_2d_sin_embedding(C, Fr, T1)  # (C, Fr, T1)
     pos2d = jnp.asarray(pe2d.transpose(2, 1, 0).reshape(1, T1 * Fr, C), x.dtype)
-    xtok = jnp.transpose(x, (0, 3, 2, 1)).reshape(B, T1 * Fr, C)
+    xtok = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, T1 * Fr, C)
     xtok = ops.layer_norm(xtok, p["norm_in"]["weight"], p["norm_in"]["bias"]) + pos2d
 
     pos1d = jnp.asarray(ops.create_sin_embedding(T2, C), xt.dtype)
@@ -173,7 +177,7 @@ def crosstransformer(x: jnp.ndarray, xt: jnp.ndarray, p: dict,
             ttok = ops.transformer_layer(ttok, old_x, p["layers_t"][li], cfg.t_heads)
         mark(f"transformer layer {li}")
 
-    x = jnp.transpose(xtok.reshape(B, T1, Fr, C), (0, 3, 2, 1))
+    x = jnp.transpose(xtok.reshape(B, T1, Fr, C), (0, 2, 3, 1))  # F-major
     xt = jnp.swapaxes(ttok, 1, 2)
     return x, xt
 
@@ -200,9 +204,9 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
     # branches); DSP + normalization statistics stay f32
     wdtype = jnp.asarray(params["encoder"][0]["conv"]["weight"]).dtype
 
-    # --- spectral front-end + CaC
+    # --- spectral front-end + CaC (F-major: (B, F, 2C, T))
     z = dsp.spec(mix.astype(jnp.float32), cfg.nfft)  # (B, 2, 2048, Tf) complex
-    x = dsp.cac_pack(z)                              # (B, 4, 2048, Tf) f32
+    x = dsp.cac_pack_fmajor(z)                       # (B, 2048, 4, Tf) f32
 
     mean = x.mean((1, 2, 3), keepdims=True)
     std = _std_unbiased(x, (1, 2, 3))
@@ -232,18 +236,18 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
         x = _henc_layer(x, params["encoder"][i])
         if i == 0:
             emb = params["freq_emb"]["embedding"]["weight"]  # (F/4, C0)
-            x = x + cfg.freq_emb_scale * jnp.asarray(emb).T[None, :, :, None]
+            x = x + cfg.freq_emb_scale * jnp.asarray(emb)[None, :, :, None]
         mark(f"encoder {i}")
         saved.append(x)
         savedt.append(xt)
 
-    # --- bottleneck transformer (with 4s channel up/downsampling)
+    # --- bottleneck transformer (with 4s channel up/downsampling).
+    # the 1x1 channel resampler commutes with the (F*T) flatten the
+    # reference does (src/model_inference.cpp:220-252), so it runs
+    # directly on the F-major tensor
     if cfg.bottom_channels:
-        Bc, Cc, Fc, Tc = x.shape
-        xf = x.reshape(Bc, Cc, Fc * Tc)
-        xf = ops.conv1d(xf, params["channel_upsampler"]["weight"],
-                        params["channel_upsampler"]["bias"])
-        x = xf.reshape(Bc, cfg.bottom_channels, Fc, Tc)
+        x = ops.freq_conv1x1_fmajor(x, params["channel_upsampler"]["weight"],
+                                    params["channel_upsampler"]["bias"])
         xt = ops.conv1d(xt, params["channel_upsampler_t"]["weight"],
                         params["channel_upsampler_t"]["bias"])
     mark("channel upsample")
@@ -251,11 +255,8 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
     x, xt = crosstransformer(x, xt, params["crosstransformer"], cfg, mark)
 
     if cfg.bottom_channels:
-        Bc, Cc, Fc, Tc = x.shape
-        xf = x.reshape(Bc, Cc, Fc * Tc)
-        xf = ops.conv1d(xf, params["channel_downsampler"]["weight"],
-                        params["channel_downsampler"]["bias"])
-        x = xf.reshape(Bc, cfg.enc_channels[-1], Fc, Tc)
+        x = ops.freq_conv1x1_fmajor(x, params["channel_downsampler"]["weight"],
+                                    params["channel_downsampler"]["bias"])
         xt = ops.conv1d(xt, params["channel_downsampler_t"]["weight"],
                         params["channel_downsampler_t"]["bias"])
     mark("channel downsample")
@@ -271,14 +272,13 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
 
     # --- epilogue: denorm, un-CaC, ISTFT, sum with time branch
     fast = wdtype == jnp.bfloat16
-    x = x.astype(jnp.float32) * std + mean          # (B, S*4, 2048, Tf)
-    x = x.reshape(B, S, 4, x.shape[-2], x.shape[-1])
+    x = x.astype(jnp.float32) * std + mean          # (B, 2048, S*4, Tf)
     if fast:
         # bf16 networks: the spectrum already carries bf16 noise, so the
         # inverse DFT runs single-pass bf16 (~-48 dB, dsp._matmul) and the
-        # padded/transposed spectra materialize at half the bytes
+        # spectra materialize at half the bytes
         x = x.astype(jnp.bfloat16)
-    wave_spec = dsp.ispec_cac(x, L, cfg.nfft, fast=fast)  # (B, S, 2, L)
+    wave_spec = dsp.ispec_cac_fmajor(x, S, L, cfg.nfft, fast=fast)  # (B,S,2,L)
     mark("istft")
 
     xt = xt.astype(jnp.float32) * stdt + meant      # (B, S*2, L)

@@ -7,11 +7,21 @@ XLA's native convolutions (MXU) instead of the reference's im2col+GEMM
 loops; attention is one batched einsum instead of per-head GEMMs.
 """
 
-from .conv import conv1d, conv2d, conv_transpose1d, conv_transpose2d  # noqa: F401
+from .conv import (  # noqa: F401
+    conv1d,
+    conv2d,
+    conv_transpose1d,
+    conv_transpose2d,
+    freq_conv1x1_fmajor,
+    freq_conv3x3_fmajor,
+    freq_conv_fmajor,
+    freq_convtr_fmajor,
+)
 from .norms import (  # noqa: F401
     gelu,
     glu,
     group_norm,
+    group_norm_fmajor,
     layer_norm,
     layer_scale,
 )

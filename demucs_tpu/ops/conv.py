@@ -109,6 +109,104 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
     return _bias(y, b, 2)
 
 
+# --- frequency-major (B, F, C, T) helpers ----------------------------------
+#
+# The htdemucs frequency branch flows in (B, F, C, T) layout so the
+# per-frequency DConv fold `(b f) c t` is a pure reshape (the reference
+# keeps (C, F, T) and its torch original rearranges every block,
+# src/encdec.cpp:8-80). All frequency-axis convs become shifted-slice
+# einsums over the MAJOR F axis; the minor (C, T) block layout never
+# changes, so XLA inserts no tiled transposes (measured ~1 ms per
+# fold/unfold copy at the level-0 shape in the channel-major design).
+
+
+def freq_conv_fmajor(x: jnp.ndarray, w: jnp.ndarray,
+                     b: jnp.ndarray | None = None, stride: int = 4,
+                     padding: int = 2) -> jnp.ndarray:
+    """Strided (KH, 1) freq conv on (B, F, C, T); w: (O, I, KH, 1).
+
+    Same math as conv2d's chunked-einsum fast path, with the chunking
+    on the major F axis (stride must divide KH).
+    """
+    O, I, kh, kw = w.shape
+    assert kw == 1 and kh % stride == 0
+    r = kh // stride
+    B, F, C, T = x.shape
+    lp = F + 2 * padding
+    n_out = (lp - kh) // stride + 1
+    chunks = -(-lp // stride)
+    xp = jnp.pad(x, [(0, 0), (padding, padding + chunks * stride - lp),
+                     (0, 0), (0, 0)])
+    xr = xp.reshape(B, chunks, stride, C, T)
+    taps = [jax.lax.slice_in_dim(xr, j, j + n_out, axis=1) for j in range(r)]
+    feats = jnp.concatenate(taps, axis=2)            # (B, F', KH, C, T)
+    y = jnp.einsum("bokct,xck->boxt", feats, w[:, :, :, 0].astype(x.dtype))
+    return y if b is None else y + b.reshape(1, 1, -1, 1)
+
+
+def freq_conv1x1_fmajor(x: jnp.ndarray, w: jnp.ndarray,
+                        b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """1x1 conv on (B, F, C, T); w: (O, I, 1, 1) or (O, I)."""
+    w2 = w.reshape(w.shape[0], w.shape[1])
+    y = jnp.einsum("bfct,xc->bfxt", x, w2.astype(x.dtype))
+    return y if b is None else y + b.reshape(1, 1, -1, 1)
+
+
+def freq_conv3x3_fmajor(x: jnp.ndarray, w: jnp.ndarray,
+                        b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """3x3 conv, padding (1, 1), on (B, F, C, T); w: (O, I, 3, 3).
+
+    Expressed as 3 frequency-shifted k=3 time convs summed — F shifts
+    are slices on the major axis (free), each tap is an ordinary NCH
+    conv XLA fuses the adds into.
+    """
+    B, F, C, T = x.shape
+    O = w.shape[0]
+    xp = jnp.pad(x, [(0, 0), (1, 1), (0, 0), (0, 0)])
+    y = None
+    for df in range(3):
+        xs = jax.lax.slice_in_dim(xp, df, df + F, axis=1)
+        t = lax.conv_general_dilated(
+            xs.reshape(B * F, C, T), w[:, :, df, :].astype(x.dtype),
+            window_strides=(1,), padding=[(1, 1)],
+            dimension_numbers=lax.conv_dimension_numbers(
+                (B * F, C, T), (O, C, 3), _DN1))
+        y = t if y is None else y + t
+    y = y.reshape(B, F, O, T)
+    return y if b is None else y + b.reshape(1, 1, -1, 1)
+
+
+def freq_convtr_fmajor(x: jnp.ndarray, w: jnp.ndarray,
+                       b: jnp.ndarray | None = None, stride: int = 4,
+                       padding: int = 0) -> jnp.ndarray:
+    """(KH, 1) transposed conv on (B, F, C, T); w: (I, O, KH, 1).
+
+    Phase decomposition along F: the per-phase einsum produces
+    (B, F', O, s, T) and the interleave reshapes MAJOR axes only, so
+    the minor (T) layout survives untouched (the channel-major
+    interleave costs ~1-2 ms in tiled copies per decoder layer).
+    """
+    I, O, kh, kw = w.shape
+    assert kw == 1 and kh % stride == 0
+    r = kh // stride
+    B, F, C, T = x.shape
+    # phase p, tap j uses w[:, :, j*stride + p] flipped across taps:
+    # out[f*s + p] = sum_j x[f + j - (r-1)] @ w[.., (r-1-j)*s + p]
+    wp = w[:, :, :, 0].reshape(I, O, r, stride)      # (I, O, j, p)
+    wp = wp[:, :, ::-1, :]                           # flip taps
+    xp = jnp.pad(x, [(0, 0), (r - 1, r - 1), (0, 0), (0, 0)])
+    n_out = F + r - 1
+    taps = jnp.stack(
+        [jax.lax.slice_in_dim(xp, j, j + n_out, axis=1) for j in range(r)],
+        axis=2)                                      # (B, F', j, C, T)
+    y = jnp.einsum("bfjct,cojp->bfpot", taps, wp.astype(x.dtype))
+    raw = (F - 1) * stride + kh
+    y = y.reshape(B, n_out * stride, O, T)[:, :raw]
+    if padding:
+        y = y[:, padding:raw - padding]
+    return y if b is None else y + b.reshape(1, 1, -1, 1)
+
+
 def _phase_weights(w: jnp.ndarray, stride: int) -> jnp.ndarray:
     """(I, O, K) torch-transposed kernel -> (O*stride, I, K//stride)
     phase-decomposed forward-conv kernel (flipped taps)."""

@@ -64,6 +64,22 @@ def group_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     return (y * weight.reshape(shape) + bias.reshape(shape)).astype(x.dtype)
 
 
+def group_norm_fmajor(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                      num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm for F-major (B, F, C, T) tensors: statistics per channel
+    group over (F, C/G, T), identical to nn.GroupNorm on the
+    channel-major (B, C, F, T) view (v3's generalized group norm,
+    reference src/layers.hpp:125-199) without any transpose."""
+    B, F, C, T = x.shape
+    xf = x.astype(jnp.float32).reshape(B, F, num_groups, C // num_groups, T)
+    mean = xf.mean((1, 3, 4), keepdims=True)
+    var = jnp.square(xf - mean).mean((1, 3, 4), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(B, F, C, T)
+    w = weight.reshape(1, 1, C, 1)
+    b = bias.reshape(1, 1, C, 1)
+    return (y * w + b).astype(x.dtype)
+
+
 def layer_scale(x: jnp.ndarray, scale: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     """Per-channel scalar multiply (reference src/layers.hpp:65-74)."""
     shape = [1] * x.ndim

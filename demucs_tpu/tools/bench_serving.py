@@ -1,0 +1,134 @@
+"""End-to-end serving throughput: continuous batching + HTTP path.
+
+Records the two north-star configs VERDICT r1 asked for alongside the
+headline segment number:
+  * `separate_many` over N tracks (continuous batching through the full
+    normalize/shift/split/overlap-add pipeline, host bookkeeping
+    included)
+  * request-level throughput through the HTTP server (tools/serve.py):
+    wav-in -> zip-of-stems-out, serialized on the device lock
+
+Usage: python -m demucs_tpu.tools.bench_serving [--tracks 4]
+       [--track-secs 30] [--http] [--model MODEL.bin]
+Prints one JSON line per mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tracks", type=int, default=4)
+    ap.add_argument("--track-secs", type=float, default=30.0)
+    ap.add_argument("--http", action="store_true",
+                    help="also measure the HTTP server path")
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from .. import params as P
+    from ..config import HTDEMUCS_4S
+    from ..models import htdemucs_segment
+    from ..pipeline import ApplyOptions, Separator
+
+    cfg = HTDEMUCS_4S
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    tree = jax.tree.map(
+        lambda x: jnp.asarray(x, dtype),
+        P.unflatten_tree(P.init_flat(P.htdemucs_schema(cfg), seed=0)))
+
+    n_samples = int(args.track_secs * 44100)
+    rng = np.random.default_rng(0)
+    tracks = [(rng.standard_normal((2, n_samples)) * 0.1).astype(np.float32)
+              for _ in range(args.tracks)]
+    total_audio_s = args.tracks * args.track_secs
+
+    opts = ApplyOptions(batch_size=args.batch, shift_offset=1337)
+    sep = Separator(lambda p, m: htdemucs_segment(p, m, cfg), tree,
+                    num_sources=cfg.num_sources, options=opts)
+
+    # warm-up (compiles the padded batch shapes)
+    sep.separate_many(tracks[:1])
+    t0 = time.perf_counter()
+    outs = sep.separate_many(tracks)
+    dt = time.perf_counter() - t0
+    assert len(outs) == args.tracks
+    print(json.dumps({
+        "mode": "separate_many", "tracks": args.tracks,
+        "track_secs": args.track_secs, "wall_s": round(dt, 3),
+        "audio_s_per_s": round(total_audio_s / dt, 1),
+    }))
+
+    # single-track latency (what one user waits for, post-warmup)
+    t0 = time.perf_counter()
+    sep(tracks[0])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "single_track", "track_secs": args.track_secs,
+        "wall_s": round(dt, 3),
+        "audio_s_per_s": round(args.track_secs / dt, 1),
+    }))
+
+    if args.http:
+        import io
+        import threading
+        import urllib.request
+        import zipfile
+
+        from .. import audio as A
+        from ..params.ggml import write_ggml
+        from ..params.tree import flatten_tree
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            model_path = f"{td}/model.bin"
+            write_ggml(model_path, "htdemucs_4s",
+                       {k: np.asarray(v, np.float32)
+                        for k, v in flatten_tree(tree).items()})
+            from .serve import make_server
+
+            srv = make_server(model_path, port=0, batch=args.batch)
+            port = srv.server_address[1]
+            th = threading.Thread(target=srv.serve_forever, daemon=True)
+            th.start()
+            wav_path = f"{td}/in.wav"
+            A.write_wav(wav_path, tracks[0])
+            body = open(wav_path, "rb").read()
+
+            def request():
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/separate", data=body,
+                    headers={"Content-Type": "audio/wav"})
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    blob = r.read()
+                names = zipfile.ZipFile(io.BytesIO(blob)).namelist()
+                assert len(names) == cfg.num_sources
+
+            request()  # warm-up/compile
+            t0 = time.perf_counter()
+            request()
+            dt = time.perf_counter() - t0
+            srv.shutdown()
+            print(json.dumps({
+                "mode": "http_request", "track_secs": args.track_secs,
+                "wall_s": round(dt, 3),
+                "audio_s_per_s": round(args.track_secs / dt, 1),
+            }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -220,3 +220,32 @@ def test_ispec_cac_matches_unpack_path():
     # FFT fallback path too
     fb = np.asarray(D.ispec_cac(x, 8192))
     np.testing.assert_allclose(fb, ref, atol=1e-4)
+
+
+def test_fmajor_cac_and_ispec_match_channel_major():
+    """F-major CaC pack + fused inverse must equal the channel-major
+    reference path (the htdemucs graphs flow F-major end to end)."""
+    from demucs_tpu import dsp as D
+    rng = np.random.default_rng(14)
+    z = (rng.standard_normal((2, 2, 2048, 12)) +
+         1j * rng.standard_normal((2, 2, 2048, 12))).astype(np.complex64)
+
+    pf = np.asarray(D.cac_pack_fmajor(jnp.asarray(z)))     # (B, F, 4, T)
+    pc = np.asarray(D.cac_pack(jnp.asarray(z)))            # (B, 4, F, T)
+    np.testing.assert_allclose(np.transpose(pf, (0, 2, 1, 3)), pc)
+
+    # spectra for S=2 sources: (B, F, S*4, T) vs (B, S, 4, F, T)
+    S = 2
+    xc = rng.standard_normal((1, S, 4, 2048, 12)).astype(np.float32)
+    xf = np.transpose(xc.reshape(1, S * 4, 2048, 12), (0, 2, 1, 3)).copy()
+    try:
+        D.USE_MATMUL_DFT = True
+        ref = np.asarray(D.ispec_cac(jnp.asarray(xc), 8192))
+        out = np.asarray(D.ispec_cac_fmajor(jnp.asarray(xf), S, 8192))
+    finally:
+        D.USE_MATMUL_DFT = None
+    assert out.shape == ref.shape == (1, S, 2, 8192)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # FFT fallback branch of the fmajor API
+    fb = np.asarray(D.ispec_cac_fmajor(jnp.asarray(xf), S, 8192))
+    np.testing.assert_allclose(fb, ref, atol=1e-4)

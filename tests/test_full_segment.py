@@ -59,14 +59,16 @@ def test_v4_intermediate_shapes_match_cpp_buffers():
                                             jnp.float32))
     assert z.shape == (1, 2, cfg.nfft // 2, FREQ_BRANCH_LEN)
 
-    x = jax.ShapeDtypeStruct((1, 4, cfg.nfft // 2, FREQ_BRANCH_LEN),
+    # the freq branch flows F-major (B, F, C, T); the C++ buffers are
+    # channel-major (C, F, T) — same contents, axes 1/2 swapped
+    x = jax.ShapeDtypeStruct((1, cfg.nfft // 2, 4, FREQ_BRANCH_LEN),
                              jnp.float32)
     xt = jax.ShapeDtypeStruct((1, 2, SEGMENT_SAMPLES), jnp.float32)
     for i in range(cfg.depth):
         x = jax.eval_shape(_henc_layer, x, params["encoder"][i])
         xt = jax.eval_shape(_tenc_layer, xt, params["tencoder"][i])
         ch, fr = FREQ_SHAPES[i]
-        assert x.shape == (1, ch, fr, FREQ_BRANCH_LEN), (i, x.shape)
+        assert x.shape == (1, fr, ch, FREQ_BRANCH_LEN), (i, x.shape)
         assert xt.shape == (1, TIME_CHANNELS[i], TIME_BRANCH_LENS[i + 1]), \
             (i, xt.shape)
 
