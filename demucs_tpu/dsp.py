@@ -318,6 +318,41 @@ def ispec_cac(x: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
     return y[..., pad:pad + length]
 
 
+def spec_cac_fmajor(x: jnp.ndarray, n_fft: int = FFT_WINDOW_SIZE,
+                    hop: int = FFT_HOP_SIZE,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Fused Demucs `_spec` + CaC pack, frequency-major: (B, C, L) f32
+    -> (B, n_fft//2, 2C, ceil(L/hop)) real in `dtype`.
+
+    On the matmul path the frame trim [2:2+le] happens BEFORE the DFT
+    (4 frames of compute never done) and the dropped top bin is simply
+    absent from the DFT matrix. dtype=bfloat16 halves the spectrum
+    write; the matmul operands stay f32 at HIGH precision either way —
+    unlike the inverse's fast path, the forward input is clean audio
+    whose precision we must not round away before windowing.
+    """
+    if not _use_matmul():
+        return cac_pack_fmajor(spec(x, n_fft, hop)).astype(dtype)
+    L = x.shape[-1]
+    le = -(-L // hop)
+    pad = hop // 2 * 3
+    pad_right = pad + le * hop - L
+    padw = [(0, 0)] * (x.ndim - 1) + [(pad, pad_right)]
+    xp = jnp.pad(x, padw, mode="reflect")
+    padw2 = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    frames = _frame(jnp.pad(xp, padw2, mode="reflect"), n_fft, hop)
+    frames = jax.lax.slice_in_dim(frames, 2, 2 + le, axis=-2)  # (B,C,le,n)
+    wr, wi = _dft_fwd_mats(n_fft)
+    bins = n_fft // 2
+    re = _matmul(frames, wr[:, :bins]).astype(dtype)   # (B, C, le, F)
+    im = _matmul(frames, wi[:, :bins]).astype(dtype)
+    re = jnp.transpose(re, (0, 3, 1, 2))               # (B, F, C, le)
+    im = jnp.transpose(im, (0, 3, 1, 2))
+    stacked = jnp.stack([re, im], axis=3)              # (B, F, C, 2, le)
+    B, F, C = stacked.shape[:3]
+    return stacked.reshape(B, F, 2 * C, le)
+
+
 def cac_pack_fmajor(z: jnp.ndarray) -> jnp.ndarray:
     """Complex-as-channels, frequency-major: (B, C, F, T) complex ->
     (B, F, 2C, T) real with channel order [re_c0, im_c0, re_c1, im_c1]

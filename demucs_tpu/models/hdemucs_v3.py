@@ -93,12 +93,12 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     # network compute dtype follows the weights; DSP + stats stay f32
     wdtype = jnp.asarray(params["encoder"][0]["conv"]["weight"]).dtype
 
-    z = dsp.spec(mix.astype(jnp.float32), cfg.nfft)
-    x = dsp.cac_pack_fmajor(z)                # F-major (B, F, 2C, T)
+    x = dsp.spec_cac_fmajor(mix.astype(jnp.float32), cfg.nfft, dtype=wdtype)
 
-    mean = x.mean((1, 2, 3), keepdims=True)
-    std = _std_unbiased(x, (1, 2, 3))
-    x = ((x - mean) / (std + 1e-5)).astype(wdtype)
+    xs = x.astype(jnp.float32)
+    mean = xs.mean((1, 2, 3), keepdims=True)
+    std = _std_unbiased(xs, (1, 2, 3))
+    x = ((xs - mean) / (std + 1e-5)).astype(wdtype)
 
     xt = mix.astype(jnp.float32)
     meant = xt.mean((1, 2), keepdims=True)

@@ -204,13 +204,14 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
     # branches); DSP + normalization statistics stay f32
     wdtype = jnp.asarray(params["encoder"][0]["conv"]["weight"]).dtype
 
-    # --- spectral front-end + CaC (F-major: (B, F, 2C, T))
-    z = dsp.spec(mix.astype(jnp.float32), cfg.nfft)  # (B, 2, 2048, Tf) complex
-    x = dsp.cac_pack_fmajor(z)                       # (B, 2048, 4, Tf) f32
+    # --- spectral front-end + CaC (F-major: (B, F, 2C, T)); bf16
+    # networks take the spectrum at bf16 (stats still accumulate f32)
+    x = dsp.spec_cac_fmajor(mix.astype(jnp.float32), cfg.nfft, dtype=wdtype)
 
-    mean = x.mean((1, 2, 3), keepdims=True)
-    std = _std_unbiased(x, (1, 2, 3))
-    x = ((x - mean) / (std + 1e-5)).astype(wdtype)
+    xs = x.astype(jnp.float32)
+    mean = xs.mean((1, 2, 3), keepdims=True)
+    std = _std_unbiased(xs, (1, 2, 3))
+    x = ((xs - mean) / (std + 1e-5)).astype(wdtype)
 
     xt = mix.astype(jnp.float32)
     meant = xt.mean((1, 2), keepdims=True)

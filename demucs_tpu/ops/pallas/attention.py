@@ -61,8 +61,12 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, bs: int, sm_scale: float):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-def _pick_block(n: int, target: int = 512) -> int:
-    """Largest divisor of n that is <= target and a multiple of 8."""
+def _pick_block(n: int, target: int = 896) -> int:
+    """Largest divisor of n that is <= target and a multiple of 8.
+
+    target=896 measured ~10% faster than 448/512 at the v4 freq length
+    (T=S=2688, D=64): fewer K/V streaming rounds and rescale passes per
+    output tile; full-row (S=2688) blocks fail to compile (VMEM)."""
     best = 0
     for b in range(8, min(n, target) + 1, 8):
         if n % b == 0:

@@ -9,6 +9,7 @@ separation through the public API. Every process's output must equal
 the single-process result.
 """
 
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -17,16 +18,19 @@ import numpy as np
 import pytest
 
 WORKER = Path(__file__).parent / "multiproc_worker.py"
+REPO = Path(__file__).parent.parent
 
 
 @pytest.mark.slow
 def test_two_process_hybrid_mesh_separation(tmp_path):
     out = tmp_path / "stems"
     port = "19857"
+    env = {**os.environ, "PYTHONPATH": str(REPO)}
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(i), "2", port, str(out)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(REPO), env=env)
         for i in range(2)
     ]
     logs = []
