@@ -189,6 +189,141 @@ def _inv_dft_ola_conv(re: jnp.ndarray, im: jnp.ndarray, n_fft: int,
     return y.reshape(lead + (chunks * hop,))
 
 
+# --- radix-64 factorized DFT ----------------------------------------------
+#
+# The dense windowed DFT is O(n^2) per frame; splitting n=4096 into two
+# 64-point stages (Cooley-Tukey, t = t1*64 + t2, k = k1*64 + k2) cuts
+# the MXU FLOPs ~10x. The Hann window and 1/sqrt(n) fold into the
+# stage-1 matrices (per-t2 batch of 64x64 GEMMs), the bin scale into a
+# broadcast; twiddles are elementwise and fuse into the matmul
+# epilogues. Only the model's F-major path (n=4096, 2048 bins) uses
+# this; the generic stft/istft (2049 bins) stay dense.
+
+_RADIX = 64
+# separate gates: the factorized forward and inverse win/lose
+# independently on hardware (the inverse materializes frame-sized
+# intermediates the conv-OLA path avoids). True/False force; None=auto.
+USE_RADIX_FWD: bool | None = None
+USE_RADIX_INV: bool | None = None
+_RADIX_FWD_DEFAULT = True
+_RADIX_INV_DEFAULT = False
+
+
+def _radix_ok(n: int, bins: int, hop: int) -> bool:
+    return n == 4096 and bins == 2048 and hop == 1024
+
+
+def _radix_fwd_on(n: int, bins: int, hop: int) -> bool:
+    on = _RADIX_FWD_DEFAULT if USE_RADIX_FWD is None else USE_RADIX_FWD
+    return on and _radix_ok(n, bins, hop)
+
+
+def _radix_inv_on(n: int, bins: int, hop: int) -> bool:
+    on = _RADIX_INV_DEFAULT if USE_RADIX_INV is None else USE_RADIX_INV
+    return on and _radix_ok(n, bins, hop)
+
+
+@functools.lru_cache(maxsize=None)
+def _radix_fwd_consts(n: int, bins: int):
+    r = _RADIX
+    m = n // r
+    k1n = bins // m
+    t1 = np.arange(r)
+    t2 = np.arange(m)
+    k2 = np.arange(m)
+    k1 = np.arange(k1n)
+    w = (hann_window(n).astype(np.float64) / math.sqrt(n)).reshape(r, m)
+    e1 = np.exp(-2j * np.pi * np.outer(t1, k2) / r)      # (t1, k2)
+    e1w = e1[:, None, :] * w[:, :, None]                 # (t1, t2, k2)
+    tw = np.exp(-2j * np.pi * np.outer(k2, t2) / n)      # (k2, t2)
+    e2 = np.exp(-2j * np.pi * np.outer(t2, k1) / r)      # (t2, k1)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    return (f32(e1w.real), f32(e1w.imag), f32(tw.real), f32(tw.imag),
+            f32(e2.real), f32(e2.imag))
+
+
+def _radix_dft_fwd(frames: jnp.ndarray, n: int, bins: int
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed forward rDFT, two 64-point stages. frames (..., n) f32
+    -> re/im (..., bins) f32. Matches `frames @ _dft_fwd_mats(n)[:, :bins]`
+    to ~1e-6 (stage GEMMs at HIGH precision)."""
+    e1r, e1i, twr, twi, e2r, e2i = _radix_fwd_consts(n, bins)
+    kw = dict(precision=jax.lax.Precision.HIGH,
+              preferred_element_type=jnp.float32)
+    x2 = frames.reshape(frames.shape[:-1] + (_RADIX, n // _RADIX))
+    ar = jnp.einsum("...xt,xtk->...kt", x2, jnp.asarray(e1r), **kw)
+    ai = jnp.einsum("...xt,xtk->...kt", x2, jnp.asarray(e1i), **kw)
+    br = ar * twr - ai * twi                             # twiddle (k2, t2)
+    bi = ar * twi + ai * twr
+    xr = (jnp.einsum("...kt,ty->...yk", br, jnp.asarray(e2r), **kw)
+          - jnp.einsum("...kt,ty->...yk", bi, jnp.asarray(e2i), **kw))
+    xi = (jnp.einsum("...kt,ty->...yk", br, jnp.asarray(e2i), **kw)
+          + jnp.einsum("...kt,ty->...yk", bi, jnp.asarray(e2r), **kw))
+    sh = frames.shape[:-1] + (bins,)
+    return xr.reshape(sh), xi.reshape(sh)
+
+
+@functools.lru_cache(maxsize=None)
+def _radix_inv_consts(n: int, bins: int):
+    r = _RADIX
+    m = n // r
+    k1n = bins // m
+    t1 = np.arange(r)
+    t2 = np.arange(m)
+    k2 = np.arange(m)
+    k1 = np.arange(k1n)
+    s = np.full(bins, 2.0)
+    s[0] = 1.0
+    sc = (s / n * math.sqrt(n)).reshape(k1n, m)          # (k1, k2)
+    e1 = np.exp(2j * np.pi * np.outer(k1, t1) / r)       # (k1, t1)
+    tw = np.exp(2j * np.pi * np.outer(t1, k2) / n)       # (t1, k2)
+    w = hann_window(n).astype(np.float64).reshape(m, r)  # (t2, t1)
+    e2 = np.exp(2j * np.pi * np.outer(k2, t2) / r)       # (k2, t2)
+    e2w = e2[:, :, None] * w[None, :, :]                 # (k2, t2, t1)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    return (f32(sc), f32(e1.real), f32(e1.imag), f32(tw.real), f32(tw.imag),
+            f32(e2w.real), f32(e2w.imag))
+
+
+def _radix_idft_frames(re: jnp.ndarray, im: jnp.ndarray, n: int,
+                       fast: bool) -> jnp.ndarray:
+    """Inverse of the model spectrum to windowed time frames, two
+    64-point stages. re/im: (B, bins, S, T) F-major -> (B, S, T, n) f32
+    windowed frames (incl. the sqrt(n) de-normalization and the 2x
+    non-DC bin fold). Matches the dense `_dft_inv_mats` path."""
+    bins = re.shape[1]
+    sc, e1r, e1i, twr, twi, e2wr, e2wi = _radix_inv_consts(n, bins)
+    k1n, m = sc.shape
+    kw = dict(precision=None if fast else jax.lax.Precision.HIGH,
+              preferred_element_type=jnp.float32)
+    # CPU's dot thunk can't do bf16 x bf16 = f32; the bf16 operand trick
+    # is a TPU-only bandwidth optimization anyway
+    dt = (jnp.bfloat16 if fast and jax.default_backend() == "tpu"
+          else jnp.float32)
+
+    def split(v):
+        v = v.reshape(v.shape[0], k1n, m, *v.shape[2:])  # (B, k1, k2, S, T)
+        return (v * sc[None, :, :, None, None]).astype(dt)
+
+    xr, xi = split(re.astype(dt)), split(im.astype(dt))
+    # stage 1 (contract k1): P[b, t1, k2, s, t]
+    e1rj, e1ij = jnp.asarray(e1r, dt), jnp.asarray(e1i, dt)
+    pr = (jnp.einsum("bckst,cx->bxkst", xr, e1rj, **kw)
+          - jnp.einsum("bckst,cx->bxkst", xi, e1ij, **kw))
+    pi = (jnp.einsum("bckst,cx->bxkst", xr, e1ij, **kw)
+          + jnp.einsum("bckst,cx->bxkst", xi, e1rj, **kw))
+    # twiddle (t1, k2), broadcast over (b, s, t)
+    qr = (pr * twr[None, :, :, None, None]
+          - pi * twi[None, :, :, None, None]).astype(dt)
+    qi = (pr * twi[None, :, :, None, None]
+          + pi * twr[None, :, :, None, None]).astype(dt)
+    # stage 2 (contract k2, window folded): y[b, s, t, t2, t1], real part
+    y = (jnp.einsum("bxkst,kyx->bstyx", qr, jnp.asarray(e2wr, dt), **kw)
+         - jnp.einsum("bxkst,kyx->bstyx", qi, jnp.asarray(e2wi, dt), **kw))
+    b, s, t = y.shape[:3]
+    return y.reshape(b, s, t, n)
+
+
 def _matmul(a: jnp.ndarray, b: np.ndarray,
             fast: bool = False) -> jnp.ndarray:
     """f32-accumulated DFT matmul. fast=True runs the operands in bf16
@@ -342,10 +477,14 @@ def spec_cac_fmajor(x: jnp.ndarray, n_fft: int = FFT_WINDOW_SIZE,
     padw2 = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
     frames = _frame(jnp.pad(xp, padw2, mode="reflect"), n_fft, hop)
     frames = jax.lax.slice_in_dim(frames, 2, 2 + le, axis=-2)  # (B,C,le,n)
-    wr, wi = _dft_fwd_mats(n_fft)
     bins = n_fft // 2
-    re = _matmul(frames, wr[:, :bins]).astype(dtype)   # (B, C, le, F)
-    im = _matmul(frames, wi[:, :bins]).astype(dtype)
+    if _radix_fwd_on(n_fft, bins, hop):
+        re, im = _radix_dft_fwd(frames, n_fft, bins)
+        re, im = re.astype(dtype), im.astype(dtype)    # (B, C, le, F)
+    else:
+        wr, wi = _dft_fwd_mats(n_fft)
+        re = _matmul(frames, wr[:, :bins]).astype(dtype)
+        im = _matmul(frames, wi[:, :bins]).astype(dtype)
     re = jnp.transpose(re, (0, 3, 1, 2))               # (B, F, C, le)
     im = jnp.transpose(im, (0, 3, 1, 2))
     stacked = jnp.stack([re, im], axis=3)              # (B, F, C, 2, le)
@@ -388,6 +527,22 @@ def ispec_cac_fmajor(x: jnp.ndarray, sources: int, length: int,
 
     pad = hop // 2 * 3
     le = hop * (-(-length // hop)) + 2 * pad
+    if _radix_inv_on(n_fft, F, hop):
+        # factorized inverse: frames materialize once (bf16 on the fast
+        # path), OLA is the shifted-chunk add of _overlap_add. The 2+2
+        # zero frames of the Demucs re-pad contribute nothing, and with
+        # hop = n/4 the center trim exactly cancels their 2-hop offset,
+        # so y[...,:le] is the whole OLA output.
+        frames = _radix_idft_frames(re, im, n_fft, fast)  # (B,SC,T,n) f32
+        if fast:
+            frames = frames.astype(jnp.bfloat16)
+        y = _overlap_add(frames, hop)                # (B, SC, (T+3)*hop)
+        wss = _window_sumsquare(T + 4, n_fft, hop)
+        off = 2 * hop                                # dropped zero frames
+        y = y / jnp.maximum(jnp.asarray(wss[off:off + y.shape[-1]]), 1e-11)
+        y = y[..., :le]  # (T+3)*hop may exceed le when T > ceil(len/hop)
+        y = y.astype(jnp.float32).reshape(B, sources, C, le)
+        return y[..., pad:pad + length]
     ratio = n_fft // hop
     kr, ki = _dft_inv_conv_kernels(n_fft, hop, F)
     dtype = jnp.bfloat16 if fast else jnp.float32

@@ -31,6 +31,7 @@ from .htdemucs import (
     _henc_layer,
     _std_unbiased,
     _tenc_layer,
+    tdec_convtr_trim,
 )
 
 
@@ -211,11 +212,12 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
         y = xt + skipt
         y = ops.conv1d(y, dt["rewrite"]["weight"], dt["rewrite"]["bias"], padding=1)
         y = ops.glu(y, 1)
-        y = ops.conv_transpose1d(y, dt["conv_tr"]["weight"], dt["conv_tr"]["bias"],
-                                 stride=4)
+        # tdecoder0 above can't use the blocked form (its GroupNorm runs
+        # pre-trim), but the common layers' GELU commutes with the trim
+        y = tdec_convtr_trim(y, dt["conv_tr"], lengths[3 - k])
         if not last:
             y = ops.gelu(y)
-        xt = y[:, :, 2:2 + lengths[3 - k]]
+        xt = y
         mark(f"tdecoder {k + 1}")
 
     # --- epilogue (same as v4; x is F-major (B, 2048, S*4, T))

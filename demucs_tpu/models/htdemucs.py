@@ -18,6 +18,7 @@ Weight pytrees follow PyTorch state-dict naming (see params/schema.py).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .. import dsp, ops
@@ -131,6 +132,23 @@ def _hdec_layer_v3_common(x: jnp.ndarray, skip: jnp.ndarray, p: dict,
     return y
 
 
+def tdec_convtr_trim(y: jnp.ndarray, p: dict, out_length: int) -> jnp.ndarray:
+    """Fused transposed conv + [2:2+out_length] trim for time decoders.
+
+    On TPU the blocked-GEMM form writes the output t-contiguous (the
+    phase-interleave relayout costs ~4 ms at the last-tdecoder shape).
+    Its dense-GEMM FLOP waste scales with C*O, so only the thin epilogue
+    layers take it (measured: C=384 layers pay ~4 ms of wasted MXU time
+    each); wide layers and non-TPU backends keep the phase path + slice.
+    GELU (elementwise) commutes with the trim, so callers apply it after.
+    """
+    w = p["weight"]
+    if jax.default_backend() == "tpu" and w.shape[0] * w.shape[1] <= 1024:
+        return ops.conv_transpose1d_blocked(y, w, p["bias"], 4, 2, out_length)
+    y = ops.conv_transpose1d(y, p["weight"], p["bias"], stride=4)
+    return y[:, :, 2:2 + out_length]
+
+
 def _tdec_layer(xt: jnp.ndarray, skip: jnp.ndarray, p: dict, out_length: int,
                 last: bool) -> jnp.ndarray:
     """Time decoder layer (reference src/encdec.cpp:258-361)."""
@@ -138,11 +156,10 @@ def _tdec_layer(xt: jnp.ndarray, skip: jnp.ndarray, p: dict, out_length: int,
     y = ops.conv1d(y, p["rewrite"]["weight"], p["rewrite"]["bias"], padding=1)
     y = ops.glu(y, 1)
     y = dconv(y, p["dconv"]["layers"])
-    y = ops.conv_transpose1d(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
-                             stride=4)
+    y = tdec_convtr_trim(y, p["conv_tr"], out_length)
     if not last:
         y = ops.gelu(y)
-    return y[:, :, 2:2 + out_length]
+    return y
 
 
 def crosstransformer(x: jnp.ndarray, xt: jnp.ndarray, p: dict,

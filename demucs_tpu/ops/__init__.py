@@ -11,6 +11,7 @@ from .conv import (  # noqa: F401
     conv1d,
     conv2d,
     conv_transpose1d,
+    conv_transpose1d_blocked,
     conv_transpose2d,
     freq_conv1x1_fmajor,
     freq_conv3x3_fmajor,

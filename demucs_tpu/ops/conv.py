@@ -15,8 +15,11 @@ Weight layouts follow PyTorch state dicts:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _DN1 = ("NCH", "OIH", "NCH")
@@ -249,6 +252,66 @@ def _interleave_phases(y: jnp.ndarray, o_ch: int, stride: int,
     y = jnp.swapaxes(y, 2, 3)                      # (B, O, Q, stride, ...)
     y = y.reshape(B, o_ch, stride * axis_len, *rest)
     return y[:, :, :out_len]
+
+
+_BLOCKED_U = 128  # one lane-tile of contiguous output samples per GEMM row
+
+
+@functools.lru_cache(maxsize=None)
+def _tapsel_tensor(k: int, stride: int, trim: int, d_len: int,
+                   u_len: int) -> np.ndarray:
+    """0/1 selector T2[k, d, u]: output sample u of a U-sample block
+    reads input column d with kernel tap k (see conv_transpose1d_blocked)."""
+    r = k // stride
+    t2 = np.zeros((k, d_len, u_len), np.float32)
+    for u in range(u_len):
+        n = u + trim
+        for j in range(r):
+            d = n // stride - j + (r - 1)
+            if 0 <= d < d_len:
+                t2[n % stride + stride * j, d, u] = 1.0
+    return t2
+
+
+def conv_transpose1d_blocked(x: jnp.ndarray, w: jnp.ndarray,
+                             b: jnp.ndarray | None, stride: int,
+                             trim: int, out_len: int) -> jnp.ndarray:
+    """Fused ConvTranspose1d + [trim : trim+out_len] slice, emitted
+    directly in interleaved output order.
+
+    The phase-decomposed path's interleave writes a size-`stride` minor
+    axis, which the TPU tiles at (8,128) — a ~4 ms relayout at the last
+    tdecoder shape (B=8, O=8, L=344k). Here each 128-sample output block
+    is one GEMM row against a (C*D, O*128) matrix built by folding a 0/1
+    tap selector into the weights, so the output is written t-contiguous
+    at byte floor. The selector is r*stride-sparse, i.e. the dense GEMM
+    wastes ~(D*stride/K)x FLOPs — a good trade only at small C*O (the
+    epilogue layers); callers gate on that.
+
+    x: (B, C, Q), w: (C, O, K) torch ConvTranspose layout. stride must
+    divide K and 128; trim < stride covers every Demucs trim (2 at s=4).
+    """
+    C, O, K = w.shape
+    r = K // stride
+    B, _, Q = x.shape
+    U = _BLOCKED_U
+    qs = U // stride                   # input columns consumed per block
+    M = -(-out_len // U)
+    D = qs + r
+    # input column d of block m is x[qs*m + d - (r-1)]; with a left pad
+    # of r-1 that is xp[qs*m + d], and columns d >= qs of block m are
+    # columns d - qs of block m+1 — so one (M+1)-block reshape provides
+    # every window with no strided slicing.
+    need = qs * (M + 1)
+    xp = jnp.pad(x, [(0, 0), (0, 0), (r - 1, max(0, need - Q - (r - 1)))])
+    base2 = xp[:, :, :need].reshape(B, C, M + 1, qs)
+    xb = jnp.concatenate([base2[:, :, :M], base2[:, :, 1:, :r]], axis=-1)
+    t2 = _tapsel_tensor(K, stride, trim, D, U)
+    w2 = jnp.einsum("cok,kdu->cdou", w.astype(x.dtype),
+                    jnp.asarray(t2, x.dtype))        # (C, D, O, U)
+    y = jnp.einsum("bcmd,cdou->bomu", xb, w2)        # (B, O, M, U)
+    y = y.reshape(B, O, M * U)[:, :, :out_len]
+    return _bias(y, b, 1)
 
 
 def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,

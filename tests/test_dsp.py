@@ -249,3 +249,29 @@ def test_fmajor_cac_and_ispec_match_channel_major():
     # FFT fallback branch of the fmajor API
     fb = np.asarray(D.ispec_cac_fmajor(jnp.asarray(xf), S, 8192))
     np.testing.assert_allclose(fb, ref, atol=1e-4)
+
+
+def test_radix_dft_matches_dense():
+    """The radix-64 factorized DFT (dsp._radix_dft_fwd/_radix_idft_frames,
+    used by the F-major model path at n_fft=4096) must match the dense
+    windowed-DFT matrices to f32 accuracy in both directions."""
+    from demucs_tpu import dsp as D
+    rng = np.random.default_rng(21)
+
+    frames = jnp.asarray(rng.standard_normal((3, 4096)).astype(np.float32))
+    wr, wi = D._dft_fwd_mats(4096)
+    re_d = np.asarray(frames) @ wr[:, :2048]
+    im_d = np.asarray(frames) @ wi[:, :2048]
+    re_r, im_r = D._radix_dft_fwd(frames, 4096, 2048)
+    np.testing.assert_allclose(np.asarray(re_r), re_d, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(im_r), im_d, atol=2e-4)
+
+    # inverse: (B, bins, S, T) F-major -> (B, S, T, n) windowed frames
+    re = rng.standard_normal((1, 2048, 2, 3)).astype(np.float32)
+    im = rng.standard_normal((1, 2048, 2, 3)).astype(np.float32)
+    vr, vi = D._dft_inv_mats(4096)
+    dense = (np.einsum("bkst,kn->bstn", re, vr[:2048])
+             + np.einsum("bkst,kn->bstn", im, vi[:2048]))
+    out = np.asarray(D._radix_idft_frames(
+        jnp.asarray(re), jnp.asarray(im), 4096, fast=False))
+    np.testing.assert_allclose(out, dense, atol=2e-4)
