@@ -305,3 +305,27 @@ def test_strided_conv_chunked_path_matches_torch():
                                     padding=(ph, 0)))
         np.testing.assert_allclose(got, ref, atol=2e-5,
                                    err_msg=str((kh, sh, ph, H)))
+
+
+def test_conv_transpose1d_blocked_matches_torch():
+    """The blocked-GEMM ConvTranspose1d+trim (the TPU epilogue path,
+    ops/conv.py:conv_transpose1d_blocked) must equal torch's
+    ConvTranspose1d followed by the [trim : trim+out_len] slice."""
+    rng = np.random.default_rng(11)
+    for (cin, cout, k, s, trim, Q) in (
+            (16, 8, 8, 4, 2, 1000),   # htdemucs last tdecoder shape family
+            (96, 8, 8, 4, 2, 700),    # v3 last tdecoder
+            (8, 4, 4, 2, 1, 333),
+            (8, 4, 8, 4, 0, 257),
+            (8, 4, 8, 4, 3, 129)):
+        x = rng.standard_normal((2, cin, Q)).astype(np.float32) * 0.3
+        w = rng.standard_normal((cin, cout, k)).astype(np.float32) * 0.2
+        b = rng.standard_normal(cout).astype(np.float32)
+        full = torch.conv_transpose1d(torch.from_numpy(x), torch.from_numpy(w),
+                                      torch.from_numpy(b), stride=s).numpy()
+        out_len = full.shape[-1] - trim - 1
+        ref = full[:, :, trim:trim + out_len]
+        got = np.asarray(ops.conv_transpose1d_blocked(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), s, trim, out_len))
+        np.testing.assert_allclose(got, ref, atol=3e-5,
+                                   err_msg=str((cin, cout, k, s, trim)))
