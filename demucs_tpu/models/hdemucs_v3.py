@@ -31,6 +31,7 @@ from .htdemucs import (
     _henc_layer,
     _std_unbiased,
     _tenc_layer,
+    dconv_tail,
     tdec_convtr_trim,
 )
 
@@ -79,10 +80,7 @@ def dconv_lstm_attn(x: jnp.ndarray, blocks: list) -> jnp.ndarray:
         y = ops.local_attention(y, blk["4"])
 
         y = ops.conv1d(y, blk["5"]["weight"], blk["5"]["bias"])
-        y = ops.group_norm(y, blk["6"]["weight"], blk["6"]["bias"], 1)
-        y = ops.glu(y, 1)
-        y = ops.layer_scale(y, blk["8"]["scale"])
-        x = x + y
+        x = dconv_tail(y, blk["6"], blk["8"], x)
     return x
 
 

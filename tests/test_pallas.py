@@ -117,3 +117,22 @@ def test_dconv_fused_matches_model_dconv():
     ref = np.asarray(dconv(x, blocks))
     out = np.asarray(dconv_fused(x, blocks, interpret=True))
     np.testing.assert_allclose(out, ref, atol=5e-6)
+
+
+def test_gn_glu_scale_res_matches_ops_chain():
+    """The fused GroupNorm(1)->GLU->LayerScale->residual kernel (the TPU
+    DConv tail, ops/pallas/norms.py) must match the unfused ops chain."""
+    from demucs_tpu import ops
+    from demucs_tpu.ops.pallas.norms import gn_glu_scale_res
+    rng = np.random.default_rng(7)
+    for (R, C, T) in ((64, 48, 336), (16, 96, 336), (8, 192, 84), (3, 8, 128)):
+        x = jnp.asarray(rng.standard_normal((R, 2 * C, T)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((2 * C,)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((2 * C,)), jnp.float32)
+        ls = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+        res = jnp.asarray(rng.standard_normal((R, C, T)), jnp.float32)
+        ref = np.asarray(res + ops.layer_scale(
+            ops.glu(ops.group_norm(x, g, b, 1), 1), ls))
+        got = np.asarray(gn_glu_scale_res(x, g, b, ls, res, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5,
+                                   err_msg=str((R, C, T)))
