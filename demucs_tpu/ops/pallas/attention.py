@@ -92,7 +92,11 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     B, H, T, D = q.shape
     S = k.shape[2]
     bt = _pick_block(T)
-    bs = _pick_block(S)
+    # full-S KV blocks win at Demucs lengths (3.20 vs 3.43 ms at
+    # T=S=2688 with bt=896): one softmax pass, no online rescaling
+    # rounds; logits stay under VMEM (896x2688 f32 = 9.6 MB). Full-T
+    # q blocks (bt=2688) still fail to compile.
+    bs = _pick_block(S, target=2688)
     if not bt or not bs:
         raise ValueError(f"unsupported seq lens T={T}, S={S}")
     sm_scale = 1.0 / math.sqrt(D)
