@@ -130,3 +130,35 @@ def test_fine_progress_reports_intra_segment_stages():
     stage_msgs = [m for m in msgs
                   if not m.startswith(("segments", "apply model"))]
     assert len(stage_msgs) % 26 == 0 and stage_msgs
+
+
+def test_sequential_bag_matches_vmapped_bag():
+    """SequentialBagSeparator (the single-device ft default, 147.2 vs
+    129.5 audio-s/s on chip) must equal the vmapped one-program bag."""
+    import jax
+    from demucs_tpu.pipeline import SequentialBagSeparator
+
+    def model(params, mix):
+        # params is a scalar weight per model; S=4 "stems"
+        return jnp.stack([mix * params["w"] * (i + 1) for i in range(4)],
+                         axis=1)
+
+    trees = [{"w": jnp.asarray(float(m + 1))} for m in range(4)]
+    rng = np.random.default_rng(5)
+    audio = rng.standard_normal((2, 20000)).astype(np.float32) * 0.3
+    opts = ApplyOptions(segment_samples=4096, batch_size=4, shift_offset=0)
+
+    seq = SequentialBagSeparator(model, trees, 4, opts)
+    out_seq = seq(audio)
+
+    import jax.numpy as _jnp
+
+    stacked = jax.tree.map(lambda *xs: _jnp.stack(xs), *trees)
+
+    def bag_fn(p, m):
+        per_model = jax.vmap(lambda pi: model(pi, m))(p)  # (M, B, S, C, L)
+        return _jnp.stack([per_model[i, :, i] for i in range(4)], axis=1)
+
+    ref = Separator(bag_fn, stacked, 4, opts)(audio)
+    assert out_seq.shape == ref.shape
+    np.testing.assert_allclose(out_seq, ref, atol=1e-5)
