@@ -5,10 +5,16 @@ TPU-framework equivalent of the reference's libnyquist usage
 duplicated to stereo, output stems written as float32 or 16-bit PCM
 WAV. Stdlib `wave` handles the chunk framing; PCM 24-bit is decoded
 manually (wave returns raw bytes).
+
+The hot decode path (format conversion + interleaved->planar) is
+native C++ (native/wav_io.cpp, mirroring the reference's C++ audio
+runtime) with this module's pure-numpy implementation as fallback;
+both are asserted bit-identical in tests/test_native.py.
 """
 
 from __future__ import annotations
 
+import ctypes
 import struct
 import wave
 from pathlib import Path
@@ -17,13 +23,69 @@ import numpy as np
 
 from .config import SAMPLE_RATE
 
+_wav_native = None
 
-def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
+
+def _native():
+    """Load (once) the native codec; None if the toolchain is absent."""
+    global _wav_native
+    if _wav_native is None:
+        try:
+            from .native import build_and_load
+
+            lib = build_and_load("wav_io")
+            u8 = ctypes.POINTER(ctypes.c_uint8)
+            lib.wav_parse_header.restype = ctypes.c_int
+            lib.wav_parse_header.argtypes = [
+                u8, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint64)]
+            lib.wav_decode_f32.restype = ctypes.c_int
+            lib.wav_decode_f32.argtypes = [
+                u8, ctypes.c_uint64, ctypes.POINTER(ctypes.c_float)]
+            lib.wav_encode_pcm16.restype = ctypes.c_int
+            lib.wav_encode_pcm16.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int16)]
+            _wav_native = lib
+        except Exception:
+            _wav_native = False
+    return _wav_native or None
+
+
+def _read_wav_native(raw: bytes) -> tuple[np.ndarray, int] | None:
+    lib = _native()
+    if lib is None:
+        return None
+    buf = (ctypes.c_uint8 * len(raw)).from_buffer_copy(raw)
+    ch = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    tag = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    off = ctypes.c_uint64()
+    rc = lib.wav_parse_header(buf, len(raw), ch, rate, bits, tag, frames, off)
+    if rc:
+        return None  # fall back so the Python path raises the rich error
+    out = np.empty((ch.value, frames.value), np.float32)
+    rc = lib.wav_decode_f32(
+        buf, len(raw), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc:
+        return None
+    return out, rate.value
+
+
+def read_wav(path: str | Path, native: bool = True) -> tuple[np.ndarray, int]:
     """Read a WAV file -> ((channels, n) float32 in [-1, 1], sample_rate).
 
     Supports PCM 8/16/24/32-bit and IEEE float32/float64.
     """
     raw = Path(path).read_bytes()
+    if native:
+        decoded = _read_wav_native(raw)
+        if decoded is not None:
+            return decoded
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     # walk chunks ourselves: stdlib wave rejects WAVE_FORMAT_IEEE_FLOAT
@@ -83,12 +145,23 @@ def write_wav(path: str | Path, audio: np.ndarray, rate: int = SAMPLE_RATE,
     channels, n = audio.shape
     inter = np.ascontiguousarray(audio.T)
     if pcm16:
+        lib = _native()
+        if lib is not None:
+            planar = np.ascontiguousarray(audio)
+            pcm = np.empty((n, channels), np.int16)
+            lib.wav_encode_pcm16(
+                planar.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                n, channels,
+                pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            frames = pcm.tobytes()
+        else:
+            clipped = np.clip(inter, -1.0, 1.0)
+            frames = np.round(clipped * 32767.0).astype(np.int16).tobytes()
         with wave.open(str(path), "wb") as w:
             w.setnchannels(channels)
             w.setsampwidth(2)
             w.setframerate(rate)
-            clipped = np.clip(inter, -1.0, 1.0)
-            w.writeframes(np.round(clipped * 32767.0).astype(np.int16).tobytes())
+            w.writeframes(frames)
         return
     # IEEE float32 WAV (stdlib wave can't write format tag 3)
     payload = inter.tobytes()
