@@ -52,11 +52,16 @@ def _chunked_strided_conv(x: jnp.ndarray, w: jnp.ndarray, stride: int,
     pads = [(0, 0)] * (x.ndim - 1) + [(padding, padding + pad_extra)]
     xp = jnp.pad(x, pads)
     xr = xp.reshape(xp.shape[:-1] + (chunks, stride))      # (..., C, ch, s)
-    taps = [jax.lax.slice_in_dim(xr, j, j + n_out, axis=xr.ndim - 2)
-            for j in range(r)]
-    feats = jnp.concatenate(taps, axis=-1)                 # (..., C, out, K)
-    return jnp.einsum("...cok,xck->...xo", feats,
-                      w.astype(x.dtype))                   # (..., O, out)
+    # sum of r chunk-tap GEMMs on free views of xr — concatenating the
+    # taps into one (..., C, out, K) operand makes XLA materialize a
+    # relayout copy of the whole activation before the GEMM
+    y = None
+    for j in range(r):
+        xs = jax.lax.slice_in_dim(xr, j, j + n_out, axis=xr.ndim - 2)
+        wj = w[:, :, j * stride:(j + 1) * stride]          # (O, C, s)
+        t = jnp.einsum("...cos,xcs->...xo", xs, wj.astype(x.dtype))
+        y = t if y is None else y + t
+    return y                                               # (..., O, out)
 
 
 def _tap_conv(x: jnp.ndarray, w: jnp.ndarray, padding: int,
@@ -122,11 +127,12 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
         xp = jnp.pad(x, [(0, 0), (0, 0),
                          (padding[0], padding[0] + chunks * s - lp), (0, 0)])
         xr = xp.reshape(B, C, chunks, s, W)
-        taps = [jax.lax.slice_in_dim(xr, j, j + n_out, axis=2)
-                for j in range(r)]
-        feats = jnp.concatenate(taps, axis=3)            # (B, C, out, K, W)
-        y = jnp.einsum("bcokw,xck->bxow", feats,
-                       w[:, :, :, 0].astype(x.dtype))
+        y = None
+        for j in range(r):                 # tap-sum: see _chunked_strided_conv
+            xs = jax.lax.slice_in_dim(xr, j, j + n_out, axis=2)
+            wj = w[:, :, j * s:(j + 1) * s, 0]           # (O, C, s)
+            t = jnp.einsum("bcopw,xcp->bxow", xs, wj.astype(x.dtype))
+            y = t if y is None else y + t
         return _bias(y, b, 2)
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype),
@@ -168,9 +174,12 @@ def freq_conv_fmajor(x: jnp.ndarray, w: jnp.ndarray,
     xp = jnp.pad(x, [(0, 0), (padding, padding + chunks * stride - lp),
                      (0, 0), (0, 0)])
     xr = xp.reshape(B, chunks, stride, C, T)
-    taps = [jax.lax.slice_in_dim(xr, j, j + n_out, axis=1) for j in range(r)]
-    feats = jnp.concatenate(taps, axis=2)            # (B, F', KH, C, T)
-    y = jnp.einsum("bokct,xck->boxt", feats, w[:, :, :, 0].astype(x.dtype))
+    y = None
+    for j in range(r):                     # tap-sum: see _chunked_strided_conv
+        xs = jax.lax.slice_in_dim(xr, j, j + n_out, axis=1)
+        wj = w[:, :, j * stride:(j + 1) * stride, 0]     # (O, I, s)
+        t = jnp.einsum("bopct,xcp->boxt", xs, wj.astype(x.dtype))
+        y = t if y is None else y + t
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 
@@ -222,10 +231,11 @@ def freq_convtr_fmajor(x: jnp.ndarray, w: jnp.ndarray,
     wp = wp[:, :, ::-1, :]                           # flip taps
     xp = jnp.pad(x, [(0, 0), (r - 1, r - 1), (0, 0), (0, 0)])
     n_out = F + r - 1
-    taps = jnp.stack(
-        [jax.lax.slice_in_dim(xp, j, j + n_out, axis=1) for j in range(r)],
-        axis=2)                                      # (B, F', j, C, T)
-    y = jnp.einsum("bfjct,cojp->bfpot", taps, wp.astype(x.dtype))
+    y = None
+    for j in range(r):                     # tap-sum: see _chunked_strided_conv
+        xs = jax.lax.slice_in_dim(xp, j, j + n_out, axis=1)
+        t = jnp.einsum("bfct,cop->bfpot", xs, wp[:, :, j, :].astype(x.dtype))
+        y = t if y is None else y + t
     raw = (F - 1) * stride + kh
     y = y.reshape(B, n_out * stride, O, T)[:, :raw]
     if padding:
