@@ -29,7 +29,7 @@ from ..utils.progress import report_stage
 from .htdemucs import (
     _hdec_layer_v3_common,
     _henc_layer,
-    _std_unbiased,
+    _mean_std_unbiased,
     _tenc_layer,
     dconv_tail,
     tdec_convtr_trim,
@@ -95,13 +95,11 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     x = dsp.spec_cac_fmajor(mix.astype(jnp.float32), cfg.nfft, dtype=wdtype)
 
     xs = x.astype(jnp.float32)
-    mean = xs.mean((1, 2, 3), keepdims=True)
-    std = _std_unbiased(xs, (1, 2, 3))
+    mean, std = _mean_std_unbiased(xs, (1, 2, 3))
     x = ((xs - mean) / (std + 1e-5)).astype(wdtype)
 
     xt = mix.astype(jnp.float32)
-    meant = xt.mean((1, 2), keepdims=True)
-    stdt = _std_unbiased(xt, (1, 2))
+    meant, stdt = _mean_std_unbiased(xt, (1, 2))
     xt = ((xt - meant) / (stdt + 1e-5)).astype(wdtype)
 
     # stage accounting mirrors the reference's 22 v3 intra-segment steps

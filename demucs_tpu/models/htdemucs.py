@@ -208,14 +208,18 @@ def crosstransformer(x: jnp.ndarray, xt: jnp.ndarray, p: dict,
     return x, xt
 
 
-def _std_unbiased(x, axes):
-    """torch.Tensor.std (unbiased) over axes, keepdims."""
+def _mean_std_unbiased(x, axes):
+    """(mean, torch.Tensor.std) over axes in ONE pass over x, keepdims.
+    Unbiased variance via (E[x^2] - mean^2) * n/(n-1); audio/spectrum
+    inputs are near zero-mean so the cancellation is benign, and the
+    two-pass form costs a second HBM read of the f32 spectrum."""
     n = 1
     for a in axes:
         n *= x.shape[a]
     mean = x.mean(axes, keepdims=True)
-    var = jnp.square(x - mean).sum(axes, keepdims=True) / (n - 1)
-    return jnp.sqrt(var)
+    mean2 = jnp.square(x).mean(axes, keepdims=True)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0) * (n / (n - 1))
+    return mean, jnp.sqrt(var)
 
 
 def htdemucs_segment(params: dict, mix: jnp.ndarray,
@@ -235,13 +239,11 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
     x = dsp.spec_cac_fmajor(mix.astype(jnp.float32), cfg.nfft, dtype=wdtype)
 
     xs = x.astype(jnp.float32)
-    mean = xs.mean((1, 2, 3), keepdims=True)
-    std = _std_unbiased(xs, (1, 2, 3))
+    mean, std = _mean_std_unbiased(xs, (1, 2, 3))
     x = ((xs - mean) / (std + 1e-5)).astype(wdtype)
 
     xt = mix.astype(jnp.float32)
-    meant = xt.mean((1, 2), keepdims=True)
-    stdt = _std_unbiased(xt, (1, 2))
+    meant, stdt = _mean_std_unbiased(xt, (1, 2))
     xt = ((xt - meant) / (stdt + 1e-5)).astype(wdtype)
 
     # --- encoders (interleaved, skips saved). Stage accounting mirrors

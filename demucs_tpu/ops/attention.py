@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .norms import gelu, layer_norm
+from .norms import _mean_var, gelu, layer_norm
 
 # Flash-attention kernel gate: None = auto (on for TPU backends),
 # True/False forces. The pallas path never materializes the (B,H,T,S)
@@ -115,8 +115,7 @@ def transformer_layer(x: jnp.ndarray, kv: jnp.ndarray | None, p: dict,
     # layout copies per layer on TPU (measured ~0.85 ms each at the v4
     # bottleneck shape; 10 layer applications per step).
     xf = x.astype(jnp.float32)
-    mean = xf.mean((1, 2), keepdims=True)
-    var = jnp.square(xf - mean).mean((1, 2), keepdims=True)
+    mean, var = _mean_var(xf, (1, 2))
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     w = p["norm_out"]["weight"].astype(jnp.float32)
     b = p["norm_out"]["bias"].astype(jnp.float32)
