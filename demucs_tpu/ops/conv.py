@@ -195,19 +195,17 @@ def freq_conv3x3_fmajor(x: jnp.ndarray, w: jnp.ndarray,
                         b: jnp.ndarray | None = None) -> jnp.ndarray:
     """3x3 conv, padding (1, 1), on (B, F, C, T); w: (O, I, 3, 3).
 
-    Expressed as 3 frequency-shifted k=3 time convs summed — F shifts
-    are slices on the major axis (free), each tap is a GEMM over C that
-    XLA fuses the adds into. Runs directly on the 4D tensor: folding
-    each tap to (B*F, C, T) forced a per-tap relayout copy to the
-    BF-minor layout the GEMMs prefer (~0.4 ms each at the level-3
-    decoder shape)."""
-    B, F, C, T = x.shape
-    xp = jnp.pad(x, [(0, 0), (1, 1), (0, 0), (0, 0)])
-    y = None
-    for df in range(3):
-        xs = jax.lax.slice_in_dim(xp, df, df + F, axis=1)
-        t = _tap_conv(xs, w[:, :, df, :], 1, 1)        # (B, F, O, T)
-        y = t if y is None else y + t
+    One conv_general_dilated with F-major dimension numbers (batch=B,
+    feature=C in place, spatial=(F, T)). The 9-tap shifted-slice einsum
+    form re-reads the activation per tap inside XLA's fusions and
+    measured 5.3x SLOWER at the level-3 decoder shape (9.31 vs 1.77
+    ms/step isolated, docs/conv3x3_micro.py) — the tap-conv trick only
+    pays on the long time-branch chains, not on this re-read-heavy 2D
+    stencil."""
+    dn = lax.ConvDimensionNumbers((0, 2, 1, 3), (0, 1, 2, 3), (0, 2, 1, 3))
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=dn)
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 
