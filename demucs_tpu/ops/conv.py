@@ -95,6 +95,17 @@ def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
     """x: (B, C, T), w: (O, I/groups, K) -> (B, O, T')."""
     k = w.shape[-1]
     if stride == 1 and groups == 1 and k <= 3:
+        # Shape-dependent split (docs/dconv_k3_micro.py): on big folded
+        # batches (freq `(b f) c t`, 4096 rows) the conv emitter reads
+        # the activation once and wins 3x; on the long thin time chains
+        # (B=8, T up to 86k) the K shifted-slice GEMMs win ~2x.
+        if k > 1 and x.shape[0] >= 64:
+            y = lax.conv_general_dilated(
+                x, w.astype(x.dtype), (stride,), [(padding, padding)],
+                rhs_dilation=(dilation,),
+                dimension_numbers=lax.conv_dimension_numbers(
+                    x.shape, w.shape, _DN1))
+            return _bias(y, b, 1)
         return _bias(_tap_conv(x, w, padding, dilation), b, 1)
     if (stride > 1 and k % stride == 0 and dilation == 1 and groups == 1):
         return _bias(_chunked_strided_conv(x, w, stride, padding), b, 1)
