@@ -223,6 +223,43 @@ def _radix_inv_on(n: int, bins: int, hop: int) -> bool:
     return on and _radix_ok(n, bins, hop)
 
 
+# Parity-folded inverse (see _parity_inv_consts): cos/sin rows repeat
+# across the two half-frames up to a (-1)^k sign, so the inverse GEMM
+# contracts each bin-parity class over only HALF the frame — half the
+# MXU FLOPs of the fused conv-OLA kernel, at the cost of materializing
+# the two (.., T, n/2) parity tensors that a 4-tap windowed
+# shifted-slice pass then combines. True/False force; None=auto.
+USE_PARITY_INV: bool | None = None
+_PARITY_INV_DEFAULT = False
+
+
+def _parity_inv_on(n: int, bins: int, hop: int) -> bool:
+    on = _PARITY_INV_DEFAULT if USE_PARITY_INV is None else USE_PARITY_INV
+    return on and _radix_ok(n, bins, hop) and not _radix_inv_on(n, bins, hop)
+
+
+@functools.lru_cache(maxsize=None)
+def _parity_inv_consts(n: int, in_bins: int):
+    """Unwindowed half-frame inverse rDFT matrices per bin parity.
+
+    U[t, k] = s_k cos/-sin(2*pi*k*t/n)/sqrt(n) for t in [0, n/2) and
+    U[t + n/2, k] = (-1)^k U[t, k], so even(odd)-bin contributions to
+    the second half-frame equal (negate) the first. Returns
+    (Uer, Uei, Uor, Uoi) each (n/2, in_bins/2) and the Hann window."""
+    t = np.arange(n // 2, dtype=np.float64)
+    s = np.full(in_bins, 2.0)
+    s[0] = 1.0  # bins [0, n/2): DC unmirrored, Nyquist already dropped
+    mats = []
+    for par in (0, 1):
+        k = np.arange(par, in_bins, 2, dtype=np.float64)
+        ang = 2.0 * np.pi * np.outer(t, k) / n
+        sc = (s[par::2] / math.sqrt(n))[None, :]
+        mats.append((np.cos(ang) * sc).astype(np.float32))
+        mats.append((-np.sin(ang) * sc).astype(np.float32))
+    win = hann_window(n).astype(np.float32)
+    return mats[0], mats[1], mats[2], mats[3], win
+
+
 @functools.lru_cache(maxsize=None)
 def _radix_fwd_consts(n: int, bins: int):
     r = _RADIX
@@ -542,6 +579,46 @@ def ispec_cac_fmajor(x: jnp.ndarray, sources: int, length: int,
         y = y / jnp.maximum(jnp.asarray(wss[off:off + y.shape[-1]]), 1e-11)
         y = y[..., :le]  # (T+3)*hop may exceed le when T > ceil(len/hop)
         y = y.astype(jnp.float32).reshape(B, sources, C, le)
+        return y[..., pad:pad + length]
+    if _parity_inv_on(n_fft, F, hop):
+        uer, uei, uor, uoi, win = _parity_inv_consts(n_fft, F)
+        dtype = jnp.bfloat16 if fast else jnp.float32
+        dnp = jax.lax.ConvDimensionNumbers(
+            lhs_spec=(0, 1, 2, 3),   # (batch, feature=F/2, SC, T)
+            rhs_spec=(0, 1, 2, 3),   # (out=n/2, in=F/2, 1, 1)
+            out_spec=(0, 3, 1, 2))   # (batch, SC, T, n/2)
+
+        def g(v, kmat):
+            return jax.lax.conv_general_dilated(
+                v.astype(dtype), jnp.asarray(kmat, dtype)[:, :, None, None],
+                window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+                dimension_numbers=dnp,
+                precision=None if fast else jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32)
+
+        e = g(re[:, 0::2], uer) + g(im[:, 0::2], uei)
+        o = g(re[:, 1::2], uor) + g(im[:, 1::2], uoi)
+        if fast:
+            e, o = e.astype(jnp.bfloat16), o.astype(jnp.bfloat16)
+        ch = T + 7                       # matches the conv-OLA chunk count
+        ep = jnp.pad(e, [(0, 0), (0, 0), (5, 5), (0, 0)])
+        op = jnp.pad(o, [(0, 0), (0, 0), (5, 5), (0, 0)])
+        wb = [jnp.asarray(win[j * hop:(j + 1) * hop], e.dtype)
+              for j in range(4)]
+
+        def blk(a, off, lo):
+            sl = jax.lax.slice_in_dim(a, off, off + ch, axis=2)
+            return sl[..., lo * hop:(lo + 1) * hop]
+
+        # OLA chunk m reads frame m-2-j at half-frame offset j*hop:
+        # j=0,1 use e+o (first/second half of the first half-frame pair),
+        # j=2,3 use e-o (the (-1)^k fold of the second pair)
+        y = (wb[0] * (blk(ep, 3, 0) + blk(op, 3, 0))
+             + wb[1] * (blk(ep, 2, 1) + blk(op, 2, 1))
+             + wb[2] * (blk(ep, 1, 0) - blk(op, 1, 0))
+             + wb[3] * (blk(ep, 0, 1) - blk(op, 0, 1)))
+        y = y.reshape(B, sources, C, ch * hop)
+        y = _istft_epilogue(y, T + 4, le, n_fft, hop)
         return y[..., pad:pad + length]
     ratio = n_fft // hop
     kr, ki = _dft_inv_conv_kernels(n_fft, hop, F)

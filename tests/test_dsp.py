@@ -251,6 +251,28 @@ def test_fmajor_cac_and_ispec_match_channel_major():
     np.testing.assert_allclose(fb, ref, atol=1e-4)
 
 
+def test_parity_inverse_matches_conv_ola():
+    """The parity-folded inverse (dsp._parity_inv_consts: (-1)^k bin
+    symmetry halves the inverse-GEMM contraction; 4-tap windowed
+    shifted-slice OLA) must match the fused conv-OLA path. Kept as a
+    correct-but-neutral alternative (CLAUDE.md perf notes)."""
+    from demucs_tpu import dsp as D
+    rng = np.random.default_rng(33)
+    S = 2
+    xf = jnp.asarray(rng.standard_normal((2, 2048, S * 4, 17)), jnp.float32)
+    length = 13 * 1024 - 101
+    try:
+        D.USE_MATMUL_DFT = True
+        ref = np.asarray(D.ispec_cac_fmajor(xf, S, length))
+        D.USE_PARITY_INV = True
+        out = np.asarray(D.ispec_cac_fmajor(xf, S, length))
+    finally:
+        D.USE_MATMUL_DFT = None
+        D.USE_PARITY_INV = None
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_radix_dft_matches_dense():
     """The radix-64 factorized DFT (dsp._radix_dft_fwd/_radix_idft_frames,
     used by the F-major model path at n_fft=4096) must match the dense
