@@ -34,6 +34,23 @@ def test_conv1d():
         np.testing.assert_allclose(ours, theirs, atol=ATOL)
 
 
+def test_conv1d_large_batch_emitter_branch():
+    """conv1d routes K<=3 stride-1 convs through the conv emitter when
+    the leading dim is >= 64 (the folded-freq shapes) — exercise that
+    branch against torch (the small-batch tests only hit the tap path)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((96, 12, 40)).astype(np.float32)
+    w = rng.standard_normal((5, 12, 3)).astype(np.float32)
+    b = rng.standard_normal(5).astype(np.float32)
+    for pad, dil in [(1, 1), (2, 2)]:
+        ours = _np(ops.conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                              1, pad, dil))
+        theirs = torch.nn.functional.conv1d(
+            torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+            stride=1, padding=pad, dilation=dil).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=ATOL)
+
+
 def test_conv2d():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((2, 4, 32, 12)).astype(np.float32)
