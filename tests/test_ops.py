@@ -153,6 +153,45 @@ def test_multihead_attention_self_and_cross():
     np.testing.assert_allclose(ours, theirs.numpy(), atol=ATOL)
 
 
+def test_transformer_layer_matches_torch_oracle():
+    """Full self-attention transformer layer (incl. the staged-reduction
+    norm_out GroupNorm(1)) against the torch oracle's TLayer — the unit
+    that pins the optimization_barrier form to torch numerics directly
+    (golden segment tests cover it only in aggregate)."""
+    from demucs_tpu.tools.torch_ref import TLayer
+    rng = np.random.default_rng(11)
+    B, T, C, H = 2, 14, 32, 8
+    layer = TLayer(C, hidden=4 * C, heads=H)
+    with torch.no_grad():
+        for p in layer.parameters():
+            p.copy_(torch.from_numpy(
+                rng.standard_normal(p.shape).astype(np.float32) * 0.3))
+    layer.eval()
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    with torch.no_grad():
+        theirs = layer(torch.from_numpy(x)).numpy()
+    sd = {k: jnp.asarray(v.detach().numpy())
+          for k, v in layer.state_dict().items()}
+    params = {
+        "self_attn": {"in_proj_weight": sd["self_attn.in_proj_weight"],
+                      "in_proj_bias": sd["self_attn.in_proj_bias"],
+                      "out_proj": {"weight": sd["self_attn.out_proj.weight"],
+                                   "bias": sd["self_attn.out_proj.bias"]}},
+        "norm1": {"weight": sd["norm1.weight"], "bias": sd["norm1.bias"]},
+        "norm2": {"weight": sd["norm2.weight"], "bias": sd["norm2.bias"]},
+        "norm_out": {"weight": sd["norm_out.weight"],
+                     "bias": sd["norm_out.bias"]},
+        "gamma_1": {"scale": sd["gamma_1.scale"]},
+        "gamma_2": {"scale": sd["gamma_2.scale"]},
+        "linear1": {"weight": sd["linear1.weight"],
+                    "bias": sd["linear1.bias"]},
+        "linear2": {"weight": sd["linear2.weight"],
+                    "bias": sd["linear2.bias"]},
+    }
+    ours = _np(ops.transformer_layer(jnp.asarray(x), None, params, H))
+    np.testing.assert_allclose(ours, theirs, atol=ATOL)
+
+
 def test_bilstm_matches_torch():
     rng = np.random.default_rng(8)
     B, T, C, Hid = 2, 17, 12, 10
