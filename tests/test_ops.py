@@ -192,6 +192,46 @@ def test_transformer_layer_matches_torch_oracle():
     np.testing.assert_allclose(ours, theirs, atol=ATOL)
 
 
+def test_cross_transformer_layer_matches_torch_oracle():
+    """Cross-attention variant of the layer test (distinct kv path and
+    norm1/norm2/norm3 wiring, reference src/crosstransformer.cpp:79-203)."""
+    from demucs_tpu.tools.torch_ref import TCrossLayer
+    rng = np.random.default_rng(12)
+    B, T, S, C, H = 2, 10, 13, 32, 8
+    layer = TCrossLayer(C, hidden=4 * C, heads=H)
+    with torch.no_grad():
+        for p in layer.parameters():
+            p.copy_(torch.from_numpy(
+                rng.standard_normal(p.shape).astype(np.float32) * 0.3))
+    layer.eval()
+    q = rng.standard_normal((B, T, C)).astype(np.float32)
+    kv = rng.standard_normal((B, S, C)).astype(np.float32)
+    with torch.no_grad():
+        theirs = layer(torch.from_numpy(q), torch.from_numpy(kv)).numpy()
+    sd = {k: jnp.asarray(v.detach().numpy())
+          for k, v in layer.state_dict().items()}
+    params = {
+        "cross_attn": {"in_proj_weight": sd["cross_attn.in_proj_weight"],
+                       "in_proj_bias": sd["cross_attn.in_proj_bias"],
+                       "out_proj": {"weight": sd["cross_attn.out_proj.weight"],
+                                    "bias": sd["cross_attn.out_proj.bias"]}},
+        "norm1": {"weight": sd["norm1.weight"], "bias": sd["norm1.bias"]},
+        "norm2": {"weight": sd["norm2.weight"], "bias": sd["norm2.bias"]},
+        "norm3": {"weight": sd["norm3.weight"], "bias": sd["norm3.bias"]},
+        "norm_out": {"weight": sd["norm_out.weight"],
+                     "bias": sd["norm_out.bias"]},
+        "gamma_1": {"scale": sd["gamma_1.scale"]},
+        "gamma_2": {"scale": sd["gamma_2.scale"]},
+        "linear1": {"weight": sd["linear1.weight"],
+                    "bias": sd["linear1.bias"]},
+        "linear2": {"weight": sd["linear2.weight"],
+                    "bias": sd["linear2.bias"]},
+    }
+    ours = _np(ops.transformer_layer(jnp.asarray(q), jnp.asarray(kv),
+                                     params, H))
+    np.testing.assert_allclose(ours, theirs, atol=ATOL)
+
+
 def test_bilstm_matches_torch():
     rng = np.random.default_rng(8)
     B, T, C, Hid = 2, 17, 12, 10
