@@ -143,10 +143,11 @@ def write_wav(path: str | Path, audio: np.ndarray, rate: int = SAMPLE_RATE,
     """Write (channels, n) float32 as WAV (float32 default, or 16-bit PCM)."""
     audio = np.atleast_2d(np.asarray(audio, np.float32))
     channels, n = audio.shape
-    inter = np.ascontiguousarray(audio.T)
     if pcm16:
         lib = _native()
         if lib is not None:
+            # native path interleaves itself — don't pay the full-track
+            # transpose copy the float32 writer needs
             planar = np.ascontiguousarray(audio)
             pcm = np.empty((n, channels), np.int16)
             lib.wav_encode_pcm16(
@@ -155,7 +156,7 @@ def write_wav(path: str | Path, audio: np.ndarray, rate: int = SAMPLE_RATE,
                 pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
             frames = pcm.tobytes()
         else:
-            clipped = np.clip(inter, -1.0, 1.0)
+            clipped = np.clip(np.ascontiguousarray(audio.T), -1.0, 1.0)
             frames = np.round(clipped * 32767.0).astype(np.int16).tobytes()
         with wave.open(str(path), "wb") as w:
             w.setnchannels(channels)
@@ -164,7 +165,7 @@ def write_wav(path: str | Path, audio: np.ndarray, rate: int = SAMPLE_RATE,
             w.writeframes(frames)
         return
     # IEEE float32 WAV (stdlib wave can't write format tag 3)
-    payload = inter.tobytes()
+    payload = np.ascontiguousarray(audio.T).tobytes()
     block = channels * 4
     # RIFF content size: "WAVE"(4) + fmt(8+18) + fact(8+4) + data hdr(8) + payload
     hdr = b"".join([

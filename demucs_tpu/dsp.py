@@ -416,7 +416,11 @@ def istft(z: jnp.ndarray, length: int, n_fft: int = FFT_WINDOW_SIZE,
 
     z: (..., F, n_frames) complex. Returns (..., length) float32.
     fast=True: bf16 inverse-DFT matmuls (see _matmul).
+
+    hop must divide n_fft (true of every Demucs config; the framing,
+    overlap-add and conv-OLA forms all build on hop-aligned chunks).
     """
+    assert n_fft % hop == 0, f"istft requires hop | n_fft ({hop}, {n_fft})"
     n_frames = z.shape[-1]
     if _use_matmul():
         y = _inv_dft_ola_conv(jnp.real(z), jnp.imag(z), n_fft, hop,

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .norms import _mean_var, gelu, layer_norm
+from .norms import gelu, layer_norm
 
 # Flash-attention kernel gate: None = auto (on for TPU backends),
 # True/False forces. The pallas path never materializes the (B,H,T,S)

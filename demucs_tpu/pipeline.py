@@ -271,8 +271,11 @@ class SequentialBagSeparator(Separator):
 
     def __init__(self, model_fn: Callable, param_trees: list,
                  num_sources: int, options: ApplyOptions | None = None):
-        super().__init__(model_fn, param_trees[0], num_sources, options)
+        # upload each tree exactly once and hand tree 0 to the base
+        # class (a second jnp.asarray of tree 0 there would pin a full
+        # duplicate model in HBM until the first _call_device)
         self._trees = [jax.tree.map(jnp.asarray, t) for t in param_trees]
+        super().__init__(model_fn, self._trees[0], num_sources, options)
 
     def _call_device(self, chunk):
         outs = []

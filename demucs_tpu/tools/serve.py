@@ -64,7 +64,11 @@ def make_handler(session, options, max_body=MAX_BODY_BYTES):
             if self.path != "/separate":
                 self._json(404, {"error": "unknown path"})
                 return
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length header"})
+                return
             if n > max_body:
                 # refuse before reading: ThreadingHTTPServer would hold
                 # every oversized body in RAM while serialized behind

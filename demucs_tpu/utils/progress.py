@@ -45,13 +45,21 @@ def stage_tracing():
 
 @contextlib.contextmanager
 def stage_sink(cb: ProgressCallback):
-    """Route stage events from executing graphs to `cb`."""
+    """Route stage events from executing graphs to `cb`.
+
+    jax.debug.callback delivery is asynchronous: without a barrier,
+    callbacks still in flight when the context exits would be dropped
+    (sink already None) or hit the NEXT batch's sink with a stale batch
+    index. effects_barrier() drains them before the sink is swapped."""
     global _STAGE_SINK
     prev = _STAGE_SINK
     _STAGE_SINK = cb
     try:
         yield
     finally:
+        import jax
+
+        jax.effects_barrier()
         _STAGE_SINK = prev
 
 
