@@ -121,6 +121,27 @@ def test_group_norm():
         np.testing.assert_allclose(ours, theirs, atol=ATOL)
 
 
+def test_group_norm_one_pass_variance_offset_robust():
+    """The one-pass E[x^2]-mean^2 variance (norms._mean_var) must stay
+    accurate against torch's two-pass form for shifted inputs. Demucs
+    activations keep |mean|/std small, but conv biases shift it — guard
+    the cancellation behavior up to mean/std = 100 in f32."""
+    rng = np.random.default_rng(9)
+    C = 16
+    w = np.ones(C, np.float32)
+    b = np.zeros(C, np.float32)
+    for offset in (0.0, 3.0, 100.0):
+        x = (rng.standard_normal((4, C, 512)) + offset).astype(np.float32)
+        ours = _np(ops.group_norm(jnp.asarray(x), jnp.asarray(w),
+                                  jnp.asarray(b), 1))
+        theirs = torch.nn.functional.group_norm(
+            torch.from_numpy(x), 1, torch.from_numpy(w),
+            torch.from_numpy(b), eps=1e-5).numpy()
+        # tolerance widens with the cancellation term (mean^2/var)*eps_f32
+        tol = max(ATOL, 3e-7 * offset * offset * 30)
+        np.testing.assert_allclose(ours, theirs, atol=tol)
+
+
 def test_glu_gelu():
     rng = np.random.default_rng(6)
     x = rng.standard_normal((2, 8, 10)).astype(np.float32)
