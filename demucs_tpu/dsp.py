@@ -137,7 +137,8 @@ def _dft_inv_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_inv_conv_kernels(n: int, hop: int, in_bins: int
+def _dft_inv_conv_kernels(n: int, hop: int, in_bins: int,
+                          raw_rows: int | None = None, offset: int = 0
                           ) -> tuple[np.ndarray, np.ndarray]:
     """Inverse-DFT-plus-overlap-add as conv kernels (out=hop, in, k=ratio).
 
@@ -148,14 +149,23 @@ def _dft_inv_conv_kernels(n: int, hop: int, in_bins: int
     windowed-frame tensor (178 MB at the v4 epilogue shape) is never
     materialized. in_bins < n//2+1 drops top bins whose input would be
     zero-padded anyway (the Demucs 2049th bin).
+
+    raw_rows/offset fold a bin-axis slice [offset : offset+in_bins] into
+    the kernel: input row g maps to bin g-offset, rows outside are zero
+    — so a producer's un-trimmed bin axis feeds the conv directly.
     """
     vr, vi = _dft_inv_mats(n)
     ratio = n // hop
 
     def mk(v: np.ndarray) -> np.ndarray:
         blocks = v[:in_bins].reshape(in_bins, ratio, hop)
-        return np.ascontiguousarray(
+        k = np.ascontiguousarray(
             np.transpose(blocks[:, ::-1, :], (2, 0, 1)))
+        if raw_rows is not None:
+            kr = np.zeros((hop, raw_rows, ratio), np.float32)
+            kr[:, offset:offset + in_bins] = k
+            k = kr
+        return k
 
     return mk(vr), mk(vi)
 
@@ -547,7 +557,7 @@ def cac_pack_fmajor(z: jnp.ndarray) -> jnp.ndarray:
 
 def ispec_cac_fmajor(x: jnp.ndarray, sources: int, length: int,
                      n_fft: int = FFT_WINDOW_SIZE, hop: int = FFT_HOP_SIZE,
-                     fast: bool = False) -> jnp.ndarray:
+                     fast: bool = False, bin_offset: int = 0) -> jnp.ndarray:
     """Fused un-CaC + ispec for F-major spectra: (B, F, S*2C, T) ->
     (B, S, C, length).
 
@@ -555,8 +565,17 @@ def ispec_cac_fmajor(x: jnp.ndarray, sources: int, length: int,
     axis (channels ride along as an extra kernel-1 spatial dim), so no
     transpose of the full-size spectrum is ever needed — the conv's
     output (B, S*C, chunks, hop) is sample-contiguous by construction.
+
+    bin_offset > 0 means the bin axis is UNTRIMMED producer output whose
+    real bins are rows [bin_offset : bin_offset + n_fft//2] (the Demucs
+    decoder's transposed-conv trim, src/encdec.cpp:166-256): the slice
+    is folded into the inverse-DFT kernel as zero rows, so the sliced
+    spectrum never materializes.
     """
     if not _use_matmul():
+        if bin_offset:
+            x = jax.lax.slice_in_dim(x, bin_offset, bin_offset + n_fft // 2,
+                                     axis=1)
         xs = jnp.swapaxes(x, 1, 2)                   # (B, S*2C, F, T)
         xs = xs.reshape(xs.shape[0], sources, -1, *xs.shape[-2:])
         return ispec(cac_unpack(xs.astype(jnp.float32)), length, n_fft, hop,
@@ -568,6 +587,12 @@ def ispec_cac_fmajor(x: jnp.ndarray, sources: int, length: int,
 
     pad = hop // 2 * 3
     le = hop * (-(-length // hop)) + 2 * pad
+    if bin_offset:
+        in_bins = min(n_fft // 2, F - bin_offset)
+        kr, ki = _dft_inv_conv_kernels(n_fft, hop, in_bins,
+                                       raw_rows=F, offset=bin_offset)
+        return _ispec_cac_conv(re, im, kr, ki, B, sources, C, T,
+                               length, le, pad, n_fft, hop, fast)
     if _radix_inv_on(n_fft, F, hop):
         # factorized inverse: frames materialize once (bf16 on the fast
         # path), OLA is the shifted-chunk add of _overlap_add. The 2+2
@@ -624,8 +649,16 @@ def ispec_cac_fmajor(x: jnp.ndarray, sources: int, length: int,
         y = y.reshape(B, sources, C, ch * hop)
         y = _istft_epilogue(y, T + 4, le, n_fft, hop)
         return y[..., pad:pad + length]
-    ratio = n_fft // hop
     kr, ki = _dft_inv_conv_kernels(n_fft, hop, F)
+    return _ispec_cac_conv(re, im, kr, ki, B, sources, C, T,
+                           length, le, pad, n_fft, hop, fast)
+
+
+def _ispec_cac_conv(re, im, kr, ki, B, sources, C, T, length, le, pad,
+                    n_fft, hop, fast):
+    """Shared conv-OLA tail of ispec_cac_fmajor: re/im (B, F, S*C, T)
+    spectra through the inverse-DFT conv kernels to (B, S, C, length)."""
+    ratio = n_fft // hop
     dtype = jnp.bfloat16 if fast else jnp.float32
     dn = jax.lax.ConvDimensionNumbers(
         lhs_spec=(0, 1, 2, 3),   # (batch, feature=F, spatial SC, T)

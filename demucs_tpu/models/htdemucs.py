@@ -26,6 +26,14 @@ from ..config import HTDemucsConfig
 from ..utils.progress import report_stage
 
 
+# Experiment flags (A/B'd on hardware; see docs/PROFILE_r2.md):
+# fold the last freq decoder's [2:2050] bin trim into the inverse-DFT
+# kernel (the sliced spectrum never materializes — slice.78 at ~0.6 ms)
+FOLD_ISPEC_TRIM = False
+# fold the 3x3 rewrite conv's bias into the GLU pass (the bias otherwise
+# runs as its own full read+write when a layout copy splits the fusion)
+GLU_BIAS_FOLD = False
+
 # The frequency branch flows in F-major (B, F, C, T) layout end to end
 # (see ops/conv.py F-major helpers): the `(b f) c t` DConv fold becomes
 # a pure reshape instead of a transpose, and every freq-axis conv works
@@ -117,11 +125,19 @@ def _hdec_layer(x: jnp.ndarray, skip: jnp.ndarray, p: dict, last: bool) -> jnp.n
     2+2 freq rows, folded into the conv_tr padding
     (reference src/encdec.cpp:166-256)."""
     y = x + skip
-    y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"], p["rewrite"]["bias"])
-    y = ops.glu(y, 2)
+    if GLU_BIAS_FOLD:
+        y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"])
+        y = ops.glu(y, 2, bias=p["rewrite"]["bias"])
+    else:
+        y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"],
+                                    p["rewrite"]["bias"])
+        y = ops.glu(y, 2)
     y = dconv_freq(y, p["dconv"]["layers"])
+    # last + FOLD_ISPEC_TRIM: emit the untrimmed 2052-row bin axis; the
+    # [2:2050] trim folds into the epilogue's inverse-DFT kernel
+    pad_tr = 0 if (last and FOLD_ISPEC_TRIM) else 2
     y = ops.freq_convtr_fmajor(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
-                               stride=4, padding=2)
+                               stride=4, padding=pad_tr)
     if not last:
         y = ops.gelu(y)
     return y
@@ -307,7 +323,9 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
         # inverse DFT runs single-pass bf16 (~-48 dB, dsp._matmul) and the
         # spectra materialize at half the bytes
         x = x.astype(jnp.bfloat16)
-    wave_spec = dsp.ispec_cac_fmajor(x, S, L, cfg.nfft, fast=fast)  # (B,S,2,L)
+    wave_spec = dsp.ispec_cac_fmajor(
+        x, S, L, cfg.nfft, fast=fast,
+        bin_offset=2 if FOLD_ISPEC_TRIM else 0)     # (B, S, 2, L)
     mark("istft")
 
     xt = xt.astype(jnp.float32) * stdt + meant      # (B, S*2, L)

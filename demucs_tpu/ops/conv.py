@@ -167,6 +167,14 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
 # fold/unfold copy at the level-0 shape in the channel-major design).
 
 
+# Contract the stride/phase axis inside the chunk einsum (False) or as
+# separate per-phase GEMMs (True). The joint (c, p) contraction makes
+# XLA relayout the chunked view before the GEMM (~1.0 ms at the level-1
+# encoder shape, copy.610 in docs/profile_r2_724.json); per-phase GEMMs
+# read slice views in place at the cost of r*s smaller contractions.
+SPLIT_PHASE_FREQ_CONV = False
+
+
 def freq_conv_fmajor(x: jnp.ndarray, w: jnp.ndarray,
                      b: jnp.ndarray | None = None, stride: int = 4,
                      padding: int = 2) -> jnp.ndarray:
@@ -185,12 +193,20 @@ def freq_conv_fmajor(x: jnp.ndarray, w: jnp.ndarray,
     xp = jnp.pad(x, [(0, 0), (padding, padding + chunks * stride - lp),
                      (0, 0), (0, 0)])
     xr = xp.reshape(B, chunks, stride, C, T)
+    split = SPLIT_PHASE_FREQ_CONV and C >= 16
     y = None
     for j in range(r):                     # tap-sum: see _chunked_strided_conv
         xs = jax.lax.slice_in_dim(xr, j, j + n_out, axis=1)
         wj = w[:, :, j * stride:(j + 1) * stride, 0]     # (O, I, s)
-        t = jnp.einsum("bopct,xcp->boxt", xs, wj.astype(x.dtype))
-        y = t if y is None else y + t
+        if split:
+            for p in range(stride):
+                xsp = jax.lax.slice_in_dim(xs, p, p + 1, axis=2)[:, :, 0]
+                t = jnp.einsum("boct,xc->boxt", xsp,
+                               wj[:, :, p].astype(x.dtype))
+                y = t if y is None else y + t
+        else:
+            t = jnp.einsum("bopct,xcp->boxt", xs, wj.astype(x.dtype))
+            y = t if y is None else y + t
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 

@@ -28,9 +28,22 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def glu(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Gated linear unit along `axis` (reference src/layers.cpp:96-119)."""
+def glu(x: jnp.ndarray, axis: int,
+        bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Gated linear unit along `axis` (reference src/layers.cpp:96-119).
+
+    `bias` is an optional pre-GLU per-channel bias (length x.shape[axis])
+    folded into this pass — glu(x + bias) without materializing the
+    biased tensor (the preceding conv's bias otherwise costs a separate
+    full read+write of the activation when a layout copy sits between,
+    see broadcast_add_fusion in docs/profile_r2_724.json)."""
     a, b = jnp.split(x, 2, axis=axis)
+    if bias is not None:
+        shape = [1] * x.ndim
+        shape[axis] = bias.shape[0] // 2
+        b1, b2 = jnp.split(bias.astype(x.dtype), 2)
+        a = a + b1.reshape(shape)
+        b = b + b2.reshape(shape)
     return a * jax.nn.sigmoid(b)
 
 

@@ -83,3 +83,30 @@ def test_htdemucs_bf16_close_to_fp32():
     assert out.dtype == np.float32  # epilogue promotes back
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 0.08, err
+
+
+def test_htdemucs_layout_experiment_flags_equivalent():
+    """The hardware-layout experiment flags (split-phase chunk conv,
+    ispec trim fold, GLU bias fold) must not change the math — only how
+    XLA lays it out. Asserted at fp32 against the default path."""
+    from demucs_tpu.models import htdemucs as M
+    from demucs_tpu.ops import conv as C
+
+    cfg = HTDEMUCS_4S
+    params, _ = _setup(cfg, seed=3)
+    rng = np.random.default_rng(11)
+    mix = jnp.asarray((rng.standard_normal((1, 2, SEG)) * 0.1)
+                      .astype(np.float32))
+    fn = jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))
+    ref = np.asarray(fn(params, mix))
+    try:
+        M.FOLD_ISPEC_TRIM = True
+        M.GLU_BIAS_FOLD = True
+        C.SPLIT_PHASE_FREQ_CONV = True
+        out = np.asarray(jax.jit(
+            lambda p, m: htdemucs_segment(p, m, cfg))(params, mix))
+    finally:
+        M.FOLD_ISPEC_TRIM = False
+        M.GLU_BIAS_FOLD = False
+        C.SPLIT_PHASE_FREQ_CONV = False
+    np.testing.assert_allclose(out, ref, atol=2e-6)
