@@ -18,6 +18,8 @@ Weight pytrees follow PyTorch state-dict naming (see params/schema.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -26,13 +28,14 @@ from ..config import HTDemucsConfig
 from ..utils.progress import report_stage
 
 
-# Experiment flags (A/B'd on hardware; see docs/PROFILE_r2.md):
+# Experiment flags (A/B'd on hardware; see docs/PROFILE_r2.md). Env
+# DT_FOLD_ISPEC_TRIM=1 / DT_GLU_BIAS_FOLD=1 flip the defaults:
 # fold the last freq decoder's [2:2050] bin trim into the inverse-DFT
 # kernel (the sliced spectrum never materializes — slice.78 at ~0.6 ms)
-FOLD_ISPEC_TRIM = False
+FOLD_ISPEC_TRIM = os.environ.get("DT_FOLD_ISPEC_TRIM", "0") == "1"
 # fold the 3x3 rewrite conv's bias into the GLU pass (the bias otherwise
 # runs as its own full read+write when a layout copy splits the fusion)
-GLU_BIAS_FOLD = False
+GLU_BIAS_FOLD = os.environ.get("DT_GLU_BIAS_FOLD", "0") == "1"
 
 # The frequency branch flows in F-major (B, F, C, T) layout end to end
 # (see ops/conv.py F-major helpers): the `(b f) c t` DConv fold becomes

@@ -16,6 +16,7 @@ Weight layouts follow PyTorch state dicts:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -172,7 +173,8 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
 # XLA relayout the chunked view before the GEMM (~1.0 ms at the level-1
 # encoder shape, copy.610 in docs/profile_r2_724.json); per-phase GEMMs
 # read slice views in place at the cost of r*s smaller contractions.
-SPLIT_PHASE_FREQ_CONV = False
+# Env DT_SPLIT_PHASE=1 flips the default (hardware A/B convenience).
+SPLIT_PHASE_FREQ_CONV = os.environ.get("DT_SPLIT_PHASE", "0") == "1"
 
 
 def freq_conv_fmajor(x: jnp.ndarray, w: jnp.ndarray,
