@@ -47,7 +47,20 @@ def test_norms_and_biases_stay_dense():
     assert set(xt["layers"][0]["linear1"]["weight"]) == {"q", "scale"}
 
 
-def test_int8_segment_output_close_to_fp32():
+# Gate rationale (the docs promise a <=0.1 dB SDR budget for quantized
+# inference): quantization noise n on the separated estimate is
+# data-independent of the estimate's own separation error e, so in
+# expectation ||e'||^2 = ||e||^2 + ||n||^2 and the SDR shift at a
+# nominal 10 dB separation SDR is dSDR = 10*log10(1 + q^2 * 10) for
+# relative noise q = ||n||/||out||. q <= 0.015 (int8 gate) bounds dSDR
+# at 0.01 dB; q <= 0.035 (fp8 gate) at 0.05 dB — both well inside the
+# budget, yet ~7x/3x above the measured random-init noise (0.0019 /
+# 0.0114), so the gate trips on real regressions, not seed jitter.
+_INT8_REL_GATE = 0.015
+_FP8_REL_GATE = 0.035
+
+
+def _quant_rel_err(quantize):
     cfg = HTDEMUCS_4S
     params = _params(seed=3)
     rng = np.random.default_rng(0)
@@ -56,25 +69,19 @@ def test_int8_segment_output_close_to_fp32():
     ref = np.asarray(jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))(
         params, jnp.asarray(mix)))
     qfn = jax.jit(quantized_model_fn(lambda p, m: htdemucs_segment(p, m, cfg)))
-    out = np.asarray(qfn(quantize_int8(params), jnp.asarray(mix)))
-
-    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
-    assert err < 0.05, err  # <5% relative L2 on random-init weights
+    out = np.asarray(qfn(quantize(params), jnp.asarray(mix)))
+    return np.linalg.norm(out - ref) / np.linalg.norm(ref)
 
 
-def test_fp8_segment_output_close_to_fp32():
+def test_int8_segment_output_within_sdr_budget():
+    err = _quant_rel_err(quantize_int8)
+    assert err < _INT8_REL_GATE, err          # implied dSDR <= 0.01 dB
+
+
+def test_fp8_segment_output_within_sdr_budget():
     from demucs_tpu.params.quant import quantize_fp8
-    cfg = HTDEMUCS_4S
-    params = _params(seed=3)
-    rng = np.random.default_rng(0)
-    mix = (rng.standard_normal((1, 2, SEG)) * 0.1).astype(np.float32)
-
-    ref = np.asarray(jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))(
-        params, jnp.asarray(mix)))
-    qfn = jax.jit(quantized_model_fn(lambda p, m: htdemucs_segment(p, m, cfg)))
-    out = np.asarray(qfn(quantize_fp8(params), jnp.asarray(mix)))
-    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
-    assert err < 0.12, err  # e4m3 is coarser than per-channel int8
+    err = _quant_rel_err(quantize_fp8)
+    assert err < _FP8_REL_GATE, err           # implied dSDR <= 0.05 dB
 
 
 def test_int8_survives_into_compiled_executable():
