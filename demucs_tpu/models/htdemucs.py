@@ -151,10 +151,16 @@ def _hdec_layer_v3_common(x: jnp.ndarray, skip: jnp.ndarray, p: dict,
     """v3 common freq decoder on (B, F, C, T): like _hdec_layer but
     without DConv (reference src/encdec.cpp:728-863)."""
     y = x + skip
-    y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"], p["rewrite"]["bias"])
-    y = ops.glu(y, 2)
+    if GLU_BIAS_FOLD:
+        y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"])
+        y = ops.glu(y, 2, bias=p["rewrite"]["bias"])
+    else:
+        y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"],
+                                    p["rewrite"]["bias"])
+        y = ops.glu(y, 2)
+    pad_tr = 0 if (last and FOLD_ISPEC_TRIM) else 2
     y = ops.freq_convtr_fmajor(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
-                               stride=4, padding=2)
+                               stride=4, padding=pad_tr)
     if not last:
         y = ops.gelu(y)
     return y

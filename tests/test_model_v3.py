@@ -42,3 +42,28 @@ def test_hdemucs_v3_matches_torch_oracle():
     diff = np.abs(ours - theirs).max()
     scale = np.abs(theirs).max()
     assert diff < 3e-4 * max(scale, 1.0), (diff, scale)
+
+
+def test_v3_layout_experiment_flags_equivalent():
+    """v3 shares the experiment flags through _hdec_layer_v3_common and
+    the shared epilogue; they must not change the math."""
+    from demucs_tpu.models import htdemucs as M
+    from demucs_tpu.ops import conv as C
+
+    cfg, params, _ = _setup(seed=2)
+    rng = np.random.default_rng(13)
+    mix = jnp.asarray((rng.standard_normal((1, 2, SEG)) * 0.1)
+                      .astype(np.float32))
+    fn = jax.jit(lambda p, m: hdemucs_v3_segment(p, m, cfg))
+    ref = np.asarray(fn(params, mix))
+    try:
+        M.FOLD_ISPEC_TRIM = True
+        M.GLU_BIAS_FOLD = True
+        C.SPLIT_PHASE_FREQ_CONV = True
+        out = np.asarray(jax.jit(
+            lambda p, m: hdemucs_v3_segment(p, m, cfg))(params, mix))
+    finally:
+        M.FOLD_ISPEC_TRIM = False
+        M.GLU_BIAS_FOLD = False
+        C.SPLIT_PHASE_FREQ_CONV = False
+    np.testing.assert_allclose(out, ref, atol=2e-6)
