@@ -251,6 +251,28 @@ def test_fmajor_cac_and_ispec_match_channel_major():
     np.testing.assert_allclose(fb, ref, atol=1e-4)
 
 
+
+def test_ispec_cac_fmajor_bin_offset_folds_trim():
+    """bin_offset must equal slicing the bin axis [offset:offset+2048]
+    up front — junk rows outside the window cannot leak into the audio
+    (the fold that lets the decoder's untrimmed conv_tr feed the
+    inverse DFT directly)."""
+    from demucs_tpu import dsp as D
+    rng = np.random.default_rng(21)
+    S, B, T, F = 2, 2, 9, 2048
+    xs = rng.standard_normal((B, F, S * 4, T)).astype(np.float32)
+    raw = rng.standard_normal((B, F + 4, S * 4, T)).astype(np.float32)
+    raw[:, 2:2 + F] = xs
+    for forced in (True, False):  # matmul path and FFT fallback
+        try:
+            D.USE_MATMUL_DFT = forced
+            ref = np.asarray(D.ispec_cac_fmajor(jnp.asarray(xs), S, 8192))
+            out = np.asarray(D.ispec_cac_fmajor(jnp.asarray(raw), S, 8192,
+                                                bin_offset=2))
+        finally:
+            D.USE_MATMUL_DFT = None
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
 def test_parity_inverse_matches_conv_ola():
     """The parity-folded inverse (dsp._parity_inv_consts: (-1)^k bin
     symmetry halves the inverse-GEMM contraction; 4-tap windowed
