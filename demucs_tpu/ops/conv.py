@@ -220,6 +220,15 @@ def freq_conv1x1_fmajor(x: jnp.ndarray, w: jnp.ndarray,
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 
+# 3x3 freq conv as three folded-batch K=3 1-D convs + F-shifted adds
+# (True) instead of one F-major 2-D conv (False). The 2-D emitter needs
+# its own layout on both sides (~2 ms of boundary copies around the
+# 1.5 ms conv at the level-0 decoder, docs/profile_r2_724.json); the
+# folded K=3 class is the one where the conv emitter won 3x in
+# docs/dconv_k3_micro.py. Env DT_CONV3X3_TAPFOLD=1 flips the default.
+CONV3X3_TAPFOLD = os.environ.get("DT_CONV3X3_TAPFOLD", "0") == "1"
+
+
 def freq_conv3x3_fmajor(x: jnp.ndarray, w: jnp.ndarray,
                         b: jnp.ndarray | None = None) -> jnp.ndarray:
     """3x3 conv, padding (1, 1), on (B, F, C, T); w: (O, I, 3, 3).
@@ -231,10 +240,40 @@ def freq_conv3x3_fmajor(x: jnp.ndarray, w: jnp.ndarray,
     ms/step isolated, docs/conv3x3_micro.py) — the tap-conv trick only
     pays on the long time-branch chains, not on this re-read-heavy 2D
     stencil."""
+    if CONV3X3_TAPFOLD:
+        return _freq_conv3x3_tapfold(x, w, b)
     dn = lax.ConvDimensionNumbers((0, 2, 1, 3), (0, 1, 2, 3), (0, 2, 1, 3))
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=dn)
+    return y if b is None else y + b.reshape(1, 1, -1, 1)
+
+
+def _freq_conv3x3_tapfold(x: jnp.ndarray, w: jnp.ndarray,
+                          b: jnp.ndarray | None) -> jnp.ndarray:
+    """freq_conv3x3_fmajor as one K=3 conv per F-tap on the `(b f) c t`
+    fold, then zero-padded F-shifted adds (slices on the major F axis).
+
+    y[b,f] = z0[b,f-1] + z1[b,f] + z2[b,f+1] where z_i is the 1-D conv
+    of row f with w[:, :, i, :]; each z_i runs on the (B*F, C, T) fold,
+    the batch-size class where XLA's conv emitter reads the activation
+    once and needs no boundary relayout.
+    """
+    B, F, C, T = x.shape
+    xf = x.reshape(B * F, C, T)
+    O = w.shape[0]
+    dn = lax.conv_dimension_numbers((B * F, C, T), (O, C, 3), _DN1)
+    zs = [
+        lax.conv_general_dilated(
+            xf, w[:, :, i, :].astype(x.dtype), (1,), [(1, 1)],
+            dimension_numbers=dn).reshape(B, F, O, T)
+        for i in range(3)
+    ]
+    pad_lo = [(0, 0), (1, 0), (0, 0), (0, 0)]
+    pad_hi = [(0, 0), (0, 1), (0, 0), (0, 0)]
+    y = (jnp.pad(zs[0], pad_lo)[:, :F]        # y[f] += z0[f-1]
+         + zs[1]
+         + jnp.pad(zs[2], pad_hi)[:, 1:])     # y[f] += z2[f+1]
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 

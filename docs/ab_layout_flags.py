@@ -19,8 +19,9 @@ CONFIGS = [
     ("split_phase", {"DT_SPLIT_PHASE": "1"}),
     ("fold_trim", {"DT_FOLD_ISPEC_TRIM": "1"}),
     ("glu_bias", {"DT_GLU_BIAS_FOLD": "1"}),
+    ("conv3x3_tapfold", {"DT_CONV3X3_TAPFOLD": "1"}),
     ("all", {"DT_SPLIT_PHASE": "1", "DT_FOLD_ISPEC_TRIM": "1",
-             "DT_GLU_BIAS_FOLD": "1"}),
+             "DT_GLU_BIAS_FOLD": "1", "DT_CONV3X3_TAPFOLD": "1"}),
 ]
 
 

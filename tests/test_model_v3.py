@@ -60,10 +60,12 @@ def test_v3_layout_experiment_flags_equivalent():
         M.FOLD_ISPEC_TRIM = True
         M.GLU_BIAS_FOLD = True
         C.SPLIT_PHASE_FREQ_CONV = True
+        C.CONV3X3_TAPFOLD = True
         out = np.asarray(jax.jit(
             lambda p, m: hdemucs_v3_segment(p, m, cfg))(params, mix))
     finally:
         M.FOLD_ISPEC_TRIM = False
         M.GLU_BIAS_FOLD = False
         C.SPLIT_PHASE_FREQ_CONV = False
+        C.CONV3X3_TAPFOLD = False
     np.testing.assert_allclose(out, ref, atol=2e-6)
