@@ -133,3 +133,16 @@ def test_sdr_acceptance_gate(tmp_path, capsys):
     assert rep["pass"]
     for stem in ("drums", "bass", "other", "vocals"):
         assert rep[stem]["cross_impl_sdr_db"] > 40, rep
+
+
+def test_memory_report_budgets():
+    """Compiled HBM budget: int8 weights must shrink the argument bytes
+    vs bf16, and every field must be present and positive-ish."""
+    from demucs_tpu.tools.memory_report import compiled_memory
+
+    bf16 = compiled_memory("4s", batch=1, segment=16384)
+    i8 = compiled_memory("4s", batch=1, segment=16384, int8=True)
+    assert bf16["argument_bytes"] > 0 and bf16["temp_bytes"] > 0
+    # int8 storage is ~half of bf16 on the quantized bulk
+    assert i8["argument_bytes"] < 0.7 * bf16["argument_bytes"]
+    assert i8["output_bytes"] == bf16["output_bytes"]
