@@ -1,0 +1,56 @@
+"""Orbax checkpoint IO for parameter trees.
+
+The reference's only weight format is its ggml container
+(src/model_load.cpp; bit-preserved by params/ggml.py). For users living
+in the JAX ecosystem this module adds the idiomatic alternative: an
+Orbax StandardCheckpointer over the same PyTorch-named flat dict, so
+trees round-trip with dtypes intact and load sharded under a Mesh via
+the normal Orbax restore-with-abstract-target path.
+
+Flat-dict (not nested) on disk: the schema's dotted PyTorch names are
+the stable contract (params/schema.py), identical to the ggml records.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .tree import flatten_tree, unflatten_tree
+
+
+def save_checkpoint(path: str | Path, tree) -> None:
+    """Write a param tree (nested or flat) as an Orbax checkpoint."""
+    import orbax.checkpoint as ocp
+
+    flat = tree if _is_flat(tree) else flatten_tree(tree)
+    flat = {k: np.asarray(v) for k, v in flat.items()}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(Path(path).absolute(), flat)
+
+
+def load_checkpoint(path: str | Path, dtype=None) -> dict:
+    """Read an Orbax checkpoint back into the nested param tree.
+
+    dtype (optional) casts floating-point leaves on restore (e.g.
+    jnp.bfloat16 for the TPU serving configuration).
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        flat = ckptr.restore(Path(path).absolute())
+    if dtype is not None:
+        flat = {
+            k: (np.asarray(v).astype(dtype)
+                if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
+            for k, v in flat.items()
+        }
+    return unflatten_tree(flat)
+
+
+def _is_flat(tree) -> bool:
+    return isinstance(tree, dict) and all(
+        not isinstance(v, dict) and not isinstance(v, (list, tuple))
+        for v in tree.values())

@@ -84,3 +84,26 @@ def test_truncated_ggml_clean_errors(tmp_path):
     for cut in (7, 15, len(data) - 3):
         with pytest.raises(ValueError, match="magic|ggml"):
             native_ggml.load(data[:cut])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax save/load must round-trip the schema tree bit-exactly and
+    support the bf16 cast-on-restore serving path."""
+    import jax.numpy as jnp
+
+    from demucs_tpu.params.orbax_io import load_checkpoint, save_checkpoint
+
+    cfg = HTDEMUCS_4S
+    flat = P.init_flat(P.htdemucs_schema(cfg), seed=7)
+    tree = P.unflatten_tree(flat)
+    path = tmp_path / "ckpt"
+    save_checkpoint(path, tree)
+
+    back = P.flatten_tree(load_checkpoint(path))
+    assert set(back) == set(flat)
+    for k, v in flat.items():
+        np.testing.assert_array_equal(back[k], v)
+
+    b16 = P.flatten_tree(load_checkpoint(path, dtype=jnp.bfloat16))
+    w = b16["encoder.0.conv.weight"]
+    assert w.dtype == jnp.bfloat16
