@@ -128,7 +128,8 @@ def main(argv=None) -> int:
         prog="demucs-tpu",
         description="TPU-native Demucs music source separation")
     ap.add_argument("model", nargs="?",
-                    help="ggml weight file (dmc4/dmc6/dmc3 magic)")
+                    help="ggml weight file (dmc4/dmc6/dmc3 magic) or an "
+                         "Orbax checkpoint directory")
     ap.add_argument("input", help="input WAV (44.1 kHz)")
     ap.add_argument("outdir", help="output directory for stem WAVs")
     ap.add_argument("--ft-dir", help="directory with 4 htdemucs_ft_* files "

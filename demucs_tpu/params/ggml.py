@@ -98,16 +98,25 @@ def write_ggml(path: str | Path, kind: str, tensors: dict[str, np.ndarray]):
 
 
 def load_model_params(path: str | Path | bytes, dtype=np.float32):
-    """One-call loader: ggml file -> (config, nested param pytree).
+    """One-call loader: ggml file OR Orbax checkpoint directory ->
+    (config, nested param pytree).
 
     Replaces the reference's 2166-line name dispatcher
-    (src/model_load.cpp) with schema-driven reshaping.
+    (src/model_load.cpp) with schema-driven reshaping. A directory path
+    is treated as an Orbax checkpoint over the same PyTorch-named flat
+    dict (model kind inferred from the tensor names/shapes).
     """
     from .. import config as cfgmod
     from .schema import hdemucs_v3_schema, htdemucs_schema
     from .tree import from_state_dict
 
-    kind, tensors = load_ggml(path)
+    if isinstance(path, (str, Path)) and Path(path).is_dir():
+        from .orbax_io import infer_kind, load_flat
+
+        flat = load_flat(path)
+        kind, tensors = infer_kind(flat), flat
+    else:
+        kind, tensors = load_ggml(path)
     if kind == "htdemucs_4s":
         cfg = cfgmod.HTDEMUCS_4S
         schema = htdemucs_schema(cfg)

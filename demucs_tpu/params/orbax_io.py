@@ -50,6 +50,24 @@ def load_checkpoint(path: str | Path, dtype=None) -> dict:
     return unflatten_tree(flat)
 
 
+def load_flat(path: str | Path) -> dict:
+    """Restore the flat PyTorch-named state dict from a checkpoint dir."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return dict(ckptr.restore(Path(path).absolute()))
+
+
+def infer_kind(flat: dict) -> str:
+    """Model kind from the state-dict contents (an Orbax dir carries no
+    ggml magic): v3 has no crosstransformer; 4s vs 6s differ in the last
+    freq decoder's CaC output width (num_sources * 4)."""
+    if not any(k.startswith("crosstransformer.") for k in flat):
+        return "hdemucs_v3"
+    out_ch = np.asarray(flat["decoder.3.conv_tr.weight"]).shape[1]
+    return {16: "htdemucs_4s", 24: "htdemucs_6s"}[out_ch]
+
+
 def _is_flat(tree) -> bool:
     return isinstance(tree, dict) and all(
         not isinstance(v, dict) and not isinstance(v, (list, tuple))

@@ -107,3 +107,23 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     b16 = P.flatten_tree(load_checkpoint(path, dtype=jnp.bfloat16))
     w = b16["encoder.0.conv.weight"]
     assert w.dtype == jnp.bfloat16
+
+
+def test_load_model_params_from_orbax_dir(tmp_path):
+    """load_model_params dispatches directory paths to the Orbax loader
+    and infers the model kind without a ggml magic."""
+    from demucs_tpu.params.ggml import load_model_params
+    from demucs_tpu.params.orbax_io import save_checkpoint
+
+    cfg = HTDEMUCS_4S
+    flat = P.init_flat(P.htdemucs_schema(cfg), seed=4)
+    path = tmp_path / "ckpt4s"
+    save_checkpoint(path, flat)
+
+    got_cfg, tree = load_model_params(path)
+    assert got_cfg is cfg
+    back = P.flatten_tree(tree)
+    # load_model_params casts to f32 (same as the ggml path)
+    np.testing.assert_array_equal(
+        back["encoder.0.conv.weight"],
+        flat["encoder.0.conv.weight"].astype(np.float32))
