@@ -588,7 +588,12 @@ def ispec_cac_fmajor(x: jnp.ndarray, sources: int, length: int,
     pad = hop // 2 * 3
     le = hop * (-(-length // hop)) + 2 * pad
     if bin_offset:
-        in_bins = min(n_fft // 2, F - bin_offset)
+        in_bins = n_fft // 2
+        if F < bin_offset + in_bins:
+            raise ValueError(
+                f"bin_offset={bin_offset} needs >= {bin_offset + in_bins} "
+                f"untrimmed rows, got {F} — pass the producer's UNTRIMMED "
+                "bin axis, not an already-sliced spectrum")
         kr, ki = _dft_inv_conv_kernels(n_fft, hop, in_bins,
                                        raw_rows=F, offset=bin_offset)
         return _ispec_cac_conv(re, im, kr, ki, B, sources, C, T,

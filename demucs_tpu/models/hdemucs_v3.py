@@ -221,9 +221,12 @@ def hdemucs_v3_segment(params: dict, mix: jnp.ndarray,
     x = x.astype(jnp.float32) * std + mean
     if fast:
         x = x.astype(jnp.bfloat16)
-    from .htdemucs import FOLD_ISPEC_TRIM
-    wave_spec = dsp.ispec_cac_fmajor(x, S, L, cfg.nfft, fast=fast,
-                                     bin_offset=2 if FOLD_ISPEC_TRIM else 0)
+    # module-attribute read at TRACE time (not a top-level `from` import,
+    # which would freeze the experiment flag at import time)
+    from . import htdemucs as _ht
+    wave_spec = dsp.ispec_cac_fmajor(
+        x, S, L, cfg.nfft, fast=fast,
+        bin_offset=2 if _ht.FOLD_ISPEC_TRIM else 0)
 
     xt = xt.astype(jnp.float32) * stdt + meant
     xt = xt.reshape(B, S, cfg.audio_channels, L)

@@ -122,19 +122,23 @@ def _tenc_layer(xt: jnp.ndarray, p: dict) -> jnp.ndarray:
     return ops.glu(y, 1)
 
 
+def _rewrite_glu(y: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """3x3 rewrite conv + GLU on (B, F, C, T); GLU_BIAS_FOLD moves the
+    conv bias into the GLU pass (see ops.glu)."""
+    if GLU_BIAS_FOLD:
+        y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"])
+        return ops.glu(y, 2, bias=p["rewrite"]["bias"])
+    y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"],
+                                p["rewrite"]["bias"])
+    return ops.glu(y, 2)
+
+
 def _hdec_layer(x: jnp.ndarray, skip: jnp.ndarray, p: dict, last: bool) -> jnp.ndarray:
     """Freq decoder layer on (B, F, C, T): +skip -> 3x3 rewrite -> GLU
     -> DConv -> transposed conv(8,1)/(4,1) [+GELU unless last] -> trim
     2+2 freq rows, folded into the conv_tr padding
     (reference src/encdec.cpp:166-256)."""
-    y = x + skip
-    if GLU_BIAS_FOLD:
-        y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"])
-        y = ops.glu(y, 2, bias=p["rewrite"]["bias"])
-    else:
-        y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"],
-                                    p["rewrite"]["bias"])
-        y = ops.glu(y, 2)
+    y = _rewrite_glu(x + skip, p)
     y = dconv_freq(y, p["dconv"]["layers"])
     # last + FOLD_ISPEC_TRIM: emit the untrimmed 2052-row bin axis; the
     # [2:2050] trim folds into the epilogue's inverse-DFT kernel
@@ -150,14 +154,7 @@ def _hdec_layer_v3_common(x: jnp.ndarray, skip: jnp.ndarray, p: dict,
                           last: bool) -> jnp.ndarray:
     """v3 common freq decoder on (B, F, C, T): like _hdec_layer but
     without DConv (reference src/encdec.cpp:728-863)."""
-    y = x + skip
-    if GLU_BIAS_FOLD:
-        y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"])
-        y = ops.glu(y, 2, bias=p["rewrite"]["bias"])
-    else:
-        y = ops.freq_conv3x3_fmajor(y, p["rewrite"]["weight"],
-                                    p["rewrite"]["bias"])
-        y = ops.glu(y, 2)
+    y = _rewrite_glu(x + skip, p)
     pad_tr = 0 if (last and FOLD_ISPEC_TRIM) else 2
     y = ops.freq_convtr_fmajor(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
                                stride=4, padding=pad_tr)

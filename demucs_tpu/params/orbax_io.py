@@ -37,14 +37,15 @@ def load_checkpoint(path: str | Path, dtype=None) -> dict:
     dtype (optional) casts floating-point leaves on restore (e.g.
     jnp.bfloat16 for the TPU serving configuration).
     """
-    import orbax.checkpoint as ocp
-
-    with ocp.StandardCheckpointer() as ckptr:
-        flat = ckptr.restore(Path(path).absolute())
+    flat = load_flat(path)
     if dtype is not None:
+        # jnp.issubdtype, not np: ml_dtypes floats (bfloat16, float8)
+        # are NOT np.floating subtypes and must still be cast
+        import jax.numpy as jnp
+
         flat = {
             k: (np.asarray(v).astype(dtype)
-                if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
+                if jnp.issubdtype(np.asarray(v).dtype, jnp.floating) else v)
             for k, v in flat.items()
         }
     return unflatten_tree(flat)
@@ -64,8 +65,18 @@ def infer_kind(flat: dict) -> str:
     freq decoder's CaC output width (num_sources * 4)."""
     if not any(k.startswith("crosstransformer.") for k in flat):
         return "hdemucs_v3"
-    out_ch = np.asarray(flat["decoder.3.conv_tr.weight"]).shape[1]
-    return {16: "htdemucs_4s", 24: "htdemucs_6s"}[out_ch]
+    key = "decoder.3.conv_tr.weight"
+    if key not in flat:
+        raise ValueError(
+            f"unrecognized checkpoint: has a crosstransformer but no {key} "
+            "(not a stock htdemucs 4s/6s tree)")
+    out_ch = np.asarray(flat[key]).shape[1]
+    kinds = {16: "htdemucs_4s", 24: "htdemucs_6s"}
+    if out_ch not in kinds:
+        raise ValueError(
+            f"unrecognized checkpoint: {key} has {out_ch} output channels; "
+            "expected 16 (htdemucs-4s) or 24 (htdemucs-6s)")
+    return kinds[out_ch]
 
 
 def _is_flat(tree) -> bool:

@@ -40,9 +40,14 @@ def compiled_memory(model: str = "4s", batch: int = 8,
     params = P.unflatten_tree(P.init_flat(schema_fn(cfg), seed=0))
     if int8:
         from ..params.quant import quantize_int8, quantized_model_fn
-        params = jax.tree.map(jnp.asarray, quantize_int8(params))
+        # same layout as the benchmarked int8 config (bench_sweep): int8
+        # storage, dense leaves AND the dequant target at the compute
+        # dtype — an f32 dequant would double the reported temp/peak
+        params = jax.tree.map(
+            lambda x: jnp.asarray(x) if np.asarray(x).dtype == np.int8
+            else jnp.asarray(x, dtype), quantize_int8(params))
         fn = jax.jit(quantized_model_fn(
-            functools.partial(seg_fn, cfg=cfg)))
+            functools.partial(seg_fn, cfg=cfg), dtype=dtype))
     else:
         params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
         fn = jax.jit(functools.partial(seg_fn, cfg=cfg))
