@@ -47,15 +47,36 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description="PyTorch Demucs checkpoint -> ggml")
     ap.add_argument("checkpoint", help=".pth/.th file (torch.load-able)")
-    ap.add_argument("output", help="output ggml file")
+    ap.add_argument("output", help="output ggml file (or checkpoint "
+                                   "directory with --orbax)")
     ap.add_argument("--kind", required=True, choices=sorted(MAGIC_BY_NAME),
                     help="model family (sets the file magic)")
+    ap.add_argument("--orbax", action="store_true",
+                    help="write an Orbax checkpoint directory (full-shape "
+                         "fp16 tensors, PyTorch names) instead of ggml")
     args = ap.parse_args(argv)
 
     import torch
     obj = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
     sd = to_numpy_fp16(extract_state_dict(obj))
-    write_ggml(args.output, args.kind, sd)
+    if args.orbax:
+        # Orbax keeps the schema's full shapes — un-squeeze through the
+        # same shape contract the ggml reader applies on load
+        from .. import config as cfgmod
+        from ..params.orbax_io import save_checkpoint
+        from ..params.schema import hdemucs_v3_schema, htdemucs_schema
+        from ..params.tree import flatten_tree, from_state_dict
+
+        cfg, schema_fn = {
+            "htdemucs_4s": (cfgmod.HTDEMUCS_4S, htdemucs_schema),
+            "htdemucs_6s": (cfgmod.HTDEMUCS_6S, htdemucs_schema),
+            "hdemucs_mmi": (cfgmod.HDEMUCS_V3, hdemucs_v3_schema),
+        }[args.kind]
+        flat = flatten_tree(from_state_dict(sd, schema_fn(cfg),
+                                            dtype=np.float16))
+        save_checkpoint(args.output, flat)
+    else:
+        write_ggml(args.output, args.kind, sd)
     total = sum(v.nbytes for v in sd.values())
     print(f"wrote {len(sd)} tensors ({total / 1e6:.2f} MB fp16) -> "
           f"{args.output}", file=sys.stderr)

@@ -146,3 +146,25 @@ def test_memory_report_budgets():
     # int8 storage is ~half of bf16 on the quantized bulk
     assert i8["argument_bytes"] < 0.7 * bf16["argument_bytes"]
     assert i8["output_bytes"] == bf16["output_bytes"]
+
+
+def test_convert_pth_to_orbax(tmp_path):
+    """--orbax writes a checkpoint dir that load_model_params accepts."""
+    from demucs_tpu import params as P
+    from demucs_tpu.config import HTDEMUCS_4S
+    from demucs_tpu.params.ggml import load_model_params
+
+    flat = P.init_flat(P.htdemucs_schema(HTDEMUCS_4S), seed=6)
+    ckpt = tmp_path / "full.pth"
+    torch.save({"state": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in flat.items()}}, ckpt)
+    out = tmp_path / "orbax_ckpt"
+    rc = convert_main([str(ckpt), str(out), "--kind", "htdemucs_4s",
+                       "--orbax"])
+    assert rc == 0
+    cfg, tree = load_model_params(out)
+    assert cfg is HTDEMUCS_4S
+    back = P.flatten_tree(tree)
+    np.testing.assert_allclose(
+        back["encoder.0.conv.weight"],
+        flat["encoder.0.conv.weight"].astype(np.float16).astype(np.float32))
