@@ -67,8 +67,14 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
 
         dtype = _jnp.bfloat16 if args.bf16 else _jnp.float32
         if args.int8 or args.fp8:
-            from .params.quant import (quantize_fp8, quantize_int8,
-                                       quantized_model_fn)
+            from .params.quant import (fp8_compute_supported, quantize_fp8,
+                                       quantize_int8, quantized_model_fn)
+            if args.fp8 and not fp8_compute_supported():
+                d = _jax.devices()[0]
+                print(f"warning: --fp8 on {d.device_kind or d.platform} has "
+                      "no native fp8 matmul — XLA emulates via bf16 converts "
+                      "(measured 7x e2e slowdown on TPU v5e); use --int8 or "
+                      "--bf16 instead", file=sys.stderr)
             quant = quantize_int8 if args.int8 else quantize_fp8
             return quantized_model_fn(fn, dtype=dtype), quant(tree)
         if args.bf16:

@@ -1,10 +1,16 @@
-"""Fused int8-dequant matmul kernel.
+"""Fused int8-dequant matmul kernel — STANDBY, deliberately unwired.
 
 Weight-only quantization (params/quant.py) stores w as int8 with
-per-output-channel scales. XLA already fuses `(q * scale) @ x` well,
-but the fused kernel guarantees the int8 tensor is what crosses HBM and
-the widening happens in VMEM right before the MXU — the "fused
-dequant+matmul" stage of the build plan (SURVEY.md §7.1.3).
+per-output-channel scales. Measured on-chip (round 2): XLA already
+keeps the int8 tensor as the HBM-crossing operand and fuses the dequant
+multiply into the consuming matmul — verified at the HLO level by
+tests/test_quant.py (s8 parameters, no standalone converts) — and the
+e2e int8 number (724.3) equals bf16 (724): the graph is
+activation-bound, so weight bytes are not the bottleneck and a custom
+kernel has nothing left to win. Kept as a tested standby (like
+ops/pallas/dconv.py) for a hardware/shape regime where XLA's fusion
+breaks or weights dominate HBM traffic; it guarantees the widening
+happens in VMEM right before the MXU.
 
 Computes y = x @ (q * scale).T for torch-Linear layout:
 x (M, K), q (N, K) int8, scale (N,) -> y (M, N).

@@ -86,6 +86,22 @@ def quantize_fp8(params):
     return jax.tree.unflatten(treedef, out)
 
 
+def fp8_compute_supported(device=None) -> bool:
+    """Best-effort: does this device execute fp8 matmuls natively?
+
+    TPU v4/v5 (incl. v5e/v5p) have no fp8 MXU mode — XLA widens the
+    e4m3 operand to bf16 with standalone converts, so fp8 storage costs
+    compute instead of saving bandwidth (measured round 2: 101 vs 724
+    audio-s/s e2e on v5e, a 7x regression). v6e (Trillium) and later
+    advertise fp8; GPUs from Hopper/Ada do.
+    """
+    d = device if device is not None else jax.devices()[0]
+    if d.platform == "tpu":
+        kind = getattr(d, "device_kind", "").lower()
+        return any(f"v{g}" in kind for g in range(6, 10))
+    return d.platform == "gpu"
+
+
 def _is_qleaf(x) -> bool:
     return isinstance(x, dict) and set(x) == {"q", "scale"}
 

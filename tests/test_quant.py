@@ -130,3 +130,20 @@ def test_quantized_bytes_report_shrinks():
     q_bytes = quantized_bytes(quantize_int8(tree))
     # int8 storage should cut total parameter bytes by >2.5x vs f32
     assert q_bytes < dense_bytes / 2.5
+
+
+def test_fp8_compute_supported_by_device_kind():
+    from demucs_tpu.params.quant import fp8_compute_supported
+
+    class FakeDev:
+        def __init__(self, platform, kind=""):
+            self.platform = platform
+            self.device_kind = kind
+
+    # v4/v5 TPUs emulate fp8 (measured 7x e2e regression) -> unsupported
+    assert not fp8_compute_supported(FakeDev("tpu", "TPU v5 lite"))
+    assert not fp8_compute_supported(FakeDev("tpu", "TPU v4"))
+    # Trillium+ and GPUs advertise native fp8
+    assert fp8_compute_supported(FakeDev("tpu", "TPU v6e"))
+    assert fp8_compute_supported(FakeDev("gpu", "H100"))
+    assert not fp8_compute_supported(FakeDev("cpu"))

@@ -57,8 +57,9 @@ def test_sdr_cli(tmp_path, capsys):
         assert 18 < v < 22
 
     # full BSS-eval v4 set (SDR/ISR/SIR/SAR like museval; reference
-    # scripts/evaluate-demixed-output.py:20-44)
-    rc = sdr_main([str(ref_dir), str(est_dir)])
+    # scripts/evaluate-demixed-output.py:20-44). --filter-len 64 keeps
+    # the test fast; the projection math is identical to the 512 default
+    rc = sdr_main([str(ref_dir), str(est_dir), "--filter-len", "64"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     for stem, m in out.items():
@@ -69,6 +70,42 @@ def test_sdr_cli(tmp_path, capsys):
         assert m["SIR"] > m["SDR"]
         assert 17 < m["SAR"] < 23
         assert m["ISR"] > m["SDR"]  # spatial error is a subset of total
+
+
+def test_bss_eval_distortion_filters_realign_delays():
+    """museval-v4 (bss_eval images) filter semantics: an estimate that
+    is the reference delayed by d taps is fully explained by the L-tap
+    filtered projection when L > d, so it is classified as SPATIAL
+    distortion — e_artif = e_interf = 0 (SAR/SIR ~inf) while ISR is low
+    (~-3 dB for white noise: ||e - s||^2 = 2||s||^2). The instantaneous
+    (L=1) decomposition instead calls the delayed signal artifact
+    (SAR low). SDR (filter-free, telescoped decomposition) must be
+    identical under both."""
+    from demucs_tpu.tools.evaluate_sdr import bss_eval_framewise
+
+    rng = np.random.default_rng(2)
+    T, d = 44100, 7
+    a = rng.standard_normal((2, T))
+    b = rng.standard_normal((2, T))
+    refs = np.stack([a, b])                     # (J=2, C=2, T)
+    delayed = np.concatenate([np.zeros((2, d)), a[:, :-d]], axis=1)
+    ests = np.stack([delayed, b])
+
+    filt = bss_eval_framewise(refs, ests, filters_len=32)
+    inst = bss_eval_framewise(refs, ests, filters_len=1)
+    # the 32-tap filter absorbs the 7-sample delay: artifact and
+    # interference energy drop to the window-edge truncation floor
+    # (the estimate's last d samples fall outside the window, an
+    # irreducible d/T = 1.6e-4 energy residual = ~38 dB)
+    assert filt["SAR"][0, 0] > 30
+    assert filt["SIR"][0, 0] > 30
+    assert -4 < filt["ISR"][0, 0] < -2      # white noise: e-s has 2x energy
+    # instantaneous projection cannot realign: artifact-dominated
+    assert inst["SAR"][0, 0] < 10
+    # SDR is the plain energy ratio regardless of filter length
+    np.testing.assert_allclose(filt["SDR"], inst["SDR"], rtol=1e-9)
+    # untouched source stays perfect under both
+    assert filt["SDR"][1, 0] > 100 and filt["ISR"][1, 0] > 60
 
 
 def test_torch_inference_matches_jax_cli(tmp_path):
