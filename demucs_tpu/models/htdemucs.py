@@ -28,14 +28,18 @@ from ..config import HTDemucsConfig
 from ..utils.progress import report_stage
 
 
-# Experiment flags (A/B'd on hardware; see docs/PROFILE_r2.md). Env
-# DT_FOLD_ISPEC_TRIM=1 / DT_GLU_BIAS_FOLD=1 flip the defaults:
-# fold the last freq decoder's [2:2050] bin trim into the inverse-DFT
-# kernel (the sliced spectrum never materializes — slice.78 at ~0.6 ms)
-FOLD_ISPEC_TRIM = os.environ.get("DT_FOLD_ISPEC_TRIM", "0") == "1"
+# Layout flags, adjudicated on-chip round 3 (docs/PROFILE_r3.md): both
+# ON by default — each non-negative in every sample, +2.0% combined
+# (741.4 vs ~726.5 audio-s/s mean baseline over 3 baseline runs).
+# Env DT_FOLD_ISPEC_TRIM=0 / DT_GLU_BIAS_FOLD=0 restore the old path.
+# Fold the last freq decoder's [2:2050] bin trim into the inverse-DFT
+# kernel (the sliced spectrum never materializes — slice.78 at ~0.6 ms;
+# measured alone: 730.3/733.3 vs 724.8/728.3 baseline)
+FOLD_ISPEC_TRIM = os.environ.get("DT_FOLD_ISPEC_TRIM", "1") == "1"
 # fold the 3x3 rewrite conv's bias into the GLU pass (the bias otherwise
-# runs as its own full read+write when a layout copy splits the fusion)
-GLU_BIAS_FOLD = os.environ.get("DT_GLU_BIAS_FOLD", "0") == "1"
+# runs as its own full read+write when a layout copy splits the fusion;
+# measured alone: 738.8/735.4/737.0)
+GLU_BIAS_FOLD = os.environ.get("DT_GLU_BIAS_FOLD", "1") == "1"
 
 # The frequency branch flows in F-major (B, F, C, T) layout end to end
 # (see ops/conv.py F-major helpers): the `(b f) c t` DConv fold becomes

@@ -168,15 +168,11 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
 # fold/unfold copy at the level-0 shape in the channel-major design).
 
 
-# Contract the stride/phase axis inside the chunk einsum (False) or as
-# separate per-phase GEMMs (True). The joint (c, p) contraction makes
-# XLA relayout the chunked view before the GEMM (~1.0 ms at the level-1
-# encoder shape, copy.610 in docs/profile_r2_724.json); per-phase GEMMs
-# read slice views in place at the cost of r*s smaller contractions.
-# Env DT_SPLIT_PHASE=1 flips the default (hardware A/B convenience).
-SPLIT_PHASE_FREQ_CONV = os.environ.get("DT_SPLIT_PHASE", "0") == "1"
-
-
+# The stride/phase axis is contracted INSIDE the chunk einsum. The
+# split-per-phase alternative (r*s separate GEMMs on in-place slice
+# views, targeting copy.610's ~1.0 ms pre-GEMM relayout) measured
+# NEGATIVE e2e on chip: 710.9 vs 724.8 audio-s/s (round 3 A/B) — the
+# r*s small contractions cost more than the relayout they avoid.
 def freq_conv_fmajor(x: jnp.ndarray, w: jnp.ndarray,
                      b: jnp.ndarray | None = None, stride: int = 4,
                      padding: int = 2) -> jnp.ndarray:
@@ -195,20 +191,12 @@ def freq_conv_fmajor(x: jnp.ndarray, w: jnp.ndarray,
     xp = jnp.pad(x, [(0, 0), (padding, padding + chunks * stride - lp),
                      (0, 0), (0, 0)])
     xr = xp.reshape(B, chunks, stride, C, T)
-    split = SPLIT_PHASE_FREQ_CONV and C >= 16
     y = None
     for j in range(r):                     # tap-sum: see _chunked_strided_conv
         xs = jax.lax.slice_in_dim(xr, j, j + n_out, axis=1)
         wj = w[:, :, j * stride:(j + 1) * stride, 0]     # (O, I, s)
-        if split:
-            for p in range(stride):
-                xsp = jax.lax.slice_in_dim(xs, p, p + 1, axis=2)[:, :, 0]
-                t = jnp.einsum("boct,xc->boxt", xsp,
-                               wj[:, :, p].astype(x.dtype))
-                y = t if y is None else y + t
-        else:
-            t = jnp.einsum("bopct,xcp->boxt", xs, wj.astype(x.dtype))
-            y = t if y is None else y + t
+        t = jnp.einsum("bopct,xcp->boxt", xs, wj.astype(x.dtype))
+        y = t if y is None else y + t
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 
@@ -220,60 +208,23 @@ def freq_conv1x1_fmajor(x: jnp.ndarray, w: jnp.ndarray,
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 
-# 3x3 freq conv as three folded-batch K=3 1-D convs + F-shifted adds
-# (True) instead of one F-major 2-D conv (False). The 2-D emitter needs
-# its own layout on both sides (~2 ms of boundary copies around the
-# 1.5 ms conv at the level-0 decoder, docs/profile_r2_724.json); the
-# folded K=3 class is the one where the conv emitter won 3x in
-# docs/dconv_k3_micro.py. Env DT_CONV3X3_TAPFOLD=1 flips the default.
-CONV3X3_TAPFOLD = os.environ.get("DT_CONV3X3_TAPFOLD", "0") == "1"
-
-
 def freq_conv3x3_fmajor(x: jnp.ndarray, w: jnp.ndarray,
                         b: jnp.ndarray | None = None) -> jnp.ndarray:
     """3x3 conv, padding (1, 1), on (B, F, C, T); w: (O, I, 3, 3).
 
     One conv_general_dilated with F-major dimension numbers (batch=B,
-    feature=C in place, spatial=(F, T)). The 9-tap shifted-slice einsum
-    form re-reads the activation per tap inside XLA's fusions and
-    measured 5.3x SLOWER at the level-3 decoder shape (9.31 vs 1.77
-    ms/step isolated, docs/conv3x3_micro.py) — the tap-conv trick only
-    pays on the long time-branch chains, not on this re-read-heavy 2D
-    stencil."""
-    if CONV3X3_TAPFOLD:
-        return _freq_conv3x3_tapfold(x, w, b)
+    feature=C in place, spatial=(F, T)). Two alternatives measured
+    SLOWER and were removed: the 9-tap shifted-slice einsum re-reads
+    the activation per tap inside XLA's fusions, 5.3x slower isolated
+    at the level-3 decoder shape (docs/conv3x3_micro.py); the
+    per-F-tap folded K=3 conv trio (targeting the ~2 ms of boundary
+    copies around this conv) was 711.4 vs 724.8 audio-s/s e2e in the
+    round-3 chip A/B — the three folded convs re-read the (B*F, C, T)
+    fold and pay their own shifted-add pads."""
     dn = lax.ConvDimensionNumbers((0, 2, 1, 3), (0, 1, 2, 3), (0, 2, 1, 3))
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=dn)
-    return y if b is None else y + b.reshape(1, 1, -1, 1)
-
-
-def _freq_conv3x3_tapfold(x: jnp.ndarray, w: jnp.ndarray,
-                          b: jnp.ndarray | None) -> jnp.ndarray:
-    """freq_conv3x3_fmajor as one K=3 conv per F-tap on the `(b f) c t`
-    fold, then zero-padded F-shifted adds (slices on the major F axis).
-
-    y[b,f] = z0[b,f-1] + z1[b,f] + z2[b,f+1] where z_i is the 1-D conv
-    of row f with w[:, :, i, :]; each z_i runs on the (B*F, C, T) fold,
-    the batch-size class where XLA's conv emitter reads the activation
-    once and needs no boundary relayout.
-    """
-    B, F, C, T = x.shape
-    xf = x.reshape(B * F, C, T)
-    O = w.shape[0]
-    dn = lax.conv_dimension_numbers((B * F, C, T), (O, C, 3), _DN1)
-    zs = [
-        lax.conv_general_dilated(
-            xf, w[:, :, i, :].astype(x.dtype), (1,), [(1, 1)],
-            dimension_numbers=dn).reshape(B, F, O, T)
-        for i in range(3)
-    ]
-    pad_lo = [(0, 0), (1, 0), (0, 0), (0, 0)]
-    pad_hi = [(0, 0), (0, 1), (0, 0), (0, 0)]
-    y = (jnp.pad(zs[0], pad_lo)[:, :F]        # y[f] += z0[f-1]
-         + zs[1]
-         + jnp.pad(zs[2], pad_hi)[:, 1:])     # y[f] += z2[f+1]
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 

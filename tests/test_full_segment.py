@@ -151,6 +151,144 @@ def test_v4_schema_shapes_match_cpp_structs():
         assert sch[name] == squeezed, (name, sch[name], cpp_shape)
 
 
+# --- v3 constants audit (src/model.hpp:695-1211) ----------------------
+# Transcribed from the demucs_v3_model struct so the schema is checked
+# against the C++ independently of the torch oracle's strict load.
+CPP_V3_WEIGHT_SHAPES = {
+    # model.hpp:698-729 (encoders 0-3 + tencoders, k=8)
+    "encoder.0.conv.weight": (48, 4, 8),
+    "encoder.3.conv.weight": (384, 192, 8),
+    "encoder.3.rewrite.weight": (768, 384, 1),
+    "tencoder.0.conv.weight": (48, 2, 8),
+    "tencoder.3.rewrite.weight": (768, 384, 1),
+    # model.hpp:738-776 (v3 dconv compress: C/4 hidden, k=3)
+    "encoder.0.dconv.layers.0.0.weight": (12, 48, 3),
+    "encoder.3.dconv.layers.1.0.weight": (96, 384, 3),
+    # model.hpp:778-800 (dconv expand 1x1, 2x for GLU)
+    "encoder.0.dconv.layers.0.3.weight": (96, 12, 1),
+    "encoder.3.dconv.layers.1.3.weight": (768, 96, 1),
+    # model.hpp:829-831 (tencoder 4: plain conv 384 -> 768)
+    "tencoder.4.conv.weight": (768, 384, 8),
+    # model.hpp:836-858 (freq encoder 4 / shared encoder 5)
+    "encoder.4.conv.weight": (768, 384, 8, 1),
+    "encoder.5.conv.weight": (1536, 768, 4),
+    "encoder.4.rewrite.weight": (1536, 768, 1),
+    "encoder.5.rewrite.weight": (3072, 1536, 1),
+    # model.hpp:860-877 (enc4/5 dconv compress, hidden = LSTM sizes)
+    "encoder.4.dconv.layers.0.0.weight": (192, 768, 3),
+    "encoder.5.dconv.layers.1.0.weight": (384, 1536, 3),
+    # model.hpp:879-1024 + :686-688: 2-layer BiLSTM, hidden 192 (enc4)
+    # / 384 (enc5); ih_l0 in = hidden, ih_l1 in = 2*hidden (bidir cat),
+    # hh in = hidden; gates rows = 4*hidden
+    "encoder.4.dconv.layers.0.3.lstm.weight_ih_l0": (768, 192),
+    "encoder.4.dconv.layers.0.3.lstm.weight_ih_l1": (768, 384),
+    "encoder.4.dconv.layers.0.3.lstm.weight_ih_l1_reverse": (768, 384),
+    "encoder.4.dconv.layers.1.3.lstm.weight_hh_l0": (768, 192),
+    "encoder.4.dconv.layers.1.3.lstm.weight_hh_l1_reverse": (768, 192),
+    "encoder.5.dconv.layers.0.3.lstm.weight_ih_l0": (1536, 384),
+    "encoder.5.dconv.layers.0.3.lstm.weight_ih_l1": (1536, 768),
+    "encoder.5.dconv.layers.1.3.lstm.weight_hh_l1": (1536, 384),
+    # model.hpp:1026-1032 (BLSTM skip-linear: 2*hidden -> hidden)
+    "encoder.4.dconv.layers.0.3.linear.weight": (192, 384),
+    "encoder.5.dconv.layers.1.3.linear.weight": (384, 768),
+    # model.hpp:1034-1072 (LocalState: square content/query/key/proj,
+    # query_decay 16 = 4 heads x 4 decays)
+    "encoder.4.dconv.layers.0.4.content.weight": (192, 192, 1),
+    "encoder.4.dconv.layers.0.4.query_decay.weight": (16, 192, 1),
+    "encoder.5.dconv.layers.1.4.query_decay.weight": (16, 384, 1),
+    "encoder.5.dconv.layers.0.4.proj.weight": (384, 384, 1),
+    # model.hpp:1074-1080 (dconv expand conv)
+    "encoder.4.dconv.layers.0.5.weight": (1536, 192, 1),
+    "encoder.5.dconv.layers.1.5.weight": (3072, 384, 1),
+    # model.hpp:1082-1096 (GN after expand + LayerScale)
+    "encoder.4.dconv.layers.0.6.weight": (1536,),
+    "encoder.4.dconv.layers.0.8.scale": (768,),
+    "encoder.5.dconv.layers.1.8.scale": (1536,),
+    # model.hpp:1099-1134 (frequency decoders 2-5)
+    "decoder.2.conv_tr.weight": (384, 192, 8, 1),
+    "decoder.5.conv_tr.weight": (48, 16, 8),
+    "decoder.2.rewrite.weight": (768, 384, 3, 3),
+    "decoder.5.rewrite.weight": (96, 48, 3, 3),
+    # model.hpp:1106-1152 (time decoders 1-4)
+    "tdecoder.1.conv_tr.weight": (384, 192, 8),
+    "tdecoder.4.conv_tr.weight": (48, 8, 8),
+    "tdecoder.1.rewrite.weight": (768, 384, 3),
+    # model.hpp:1156-1206 (unique decoder 0/1 + tdecoder 0)
+    "decoder.0.conv_tr.weight": (1536, 768, 4),
+    "decoder.0.rewrite.weight": (3072, 1536, 3),
+    "decoder.0.norm2.weight": (768,),
+    "decoder.1.conv_tr.weight": (768, 384, 8, 1),
+    "decoder.1.rewrite.weight": (1536, 768, 3, 3),
+    "decoder.1.norm1.weight": (1536,),
+    "tdecoder.0.conv_tr.weight": (768, 384, 8),
+    "tdecoder.0.norm2.weight": (384,),
+    # model.hpp:1210 (freq_emb 512 bins x 48 ch)
+    "freq_emb.embedding.weight": (512, 48),
+}
+
+
+def test_v3_schema_shapes_match_cpp_structs():
+    from demucs_tpu.config import HDEMUCS_V3
+
+    sch = {k: tuple(int(d) for d in v if d != 1) or (1,)
+           for k, v in P.hdemucs_v3_schema(HDEMUCS_V3).items()}
+    for name, cpp_shape in CPP_V3_WEIGHT_SHAPES.items():
+        squeezed = tuple(d for d in cpp_shape if d != 1) or (1,)
+        assert name in sch, name
+        assert sch[name] == squeezed, (name, sch[name], cpp_shape)
+
+
+def _cpp_transformer_shapes(size1: int, size2: int, size3: int) -> dict:
+    """crosstransformer_base member shapes (src/model.hpp:26-257):
+    in_proj (size2, size1), out_proj (size1, size1), linear1
+    (size3, size1), linear2 (size1, size3), norms/gammas (size1,).
+    my_layers (self-attn) are indices 0/2/4, cross_layers 1/3, and
+    both exist for freq ('' suffix) and time ('_t')."""
+    s = {}
+    for suffix in ("", "_t"):
+        s[f"crosstransformer.norm_in{suffix}.weight"] = (size1,)
+        s[f"crosstransformer.norm_in{suffix}.bias"] = (size1,)
+        for li in range(5):
+            p = f"crosstransformer.layers{suffix}.{li}"
+            attn = "cross_attn" if li % 2 else "self_attn"
+            s[f"{p}.{attn}.in_proj_weight"] = (size2, size1)
+            s[f"{p}.{attn}.in_proj_bias"] = (size2,)
+            s[f"{p}.{attn}.out_proj.weight"] = (size1, size1)
+            s[f"{p}.{attn}.out_proj.bias"] = (size1,)
+            s[f"{p}.linear1.weight"] = (size3, size1)
+            s[f"{p}.linear2.weight"] = (size1, size3)
+            s[f"{p}.norm1.weight"] = (size1,)
+            s[f"{p}.norm2.weight"] = (size1,)
+            s[f"{p}.norm_out.weight"] = (size1,)
+            s[f"{p}.gamma_1.scale"] = (size1,)
+            s[f"{p}.gamma_2.scale"] = (size1,)
+            if li % 2:
+                s[f"{p}.norm3.weight"] = (size1,)
+    return s
+
+
+@pytest.mark.parametrize("which,sizes", [
+    # src/model.hpp:261: demucs_crosstransformer_4s(512, 1536, 2048)
+    ("4s", (512, 1536, 2048)),
+    # src/model.hpp:282: demucs_crosstransformer_6s(384, 1152, 1536)
+    ("6s", (384, 1152, 1536)),
+])
+def test_transformer_schema_shapes_match_cpp_structs(which, sizes):
+    from demucs_tpu.config import HTDEMUCS_6S
+
+    cfg = HTDEMUCS_4S if which == "4s" else HTDEMUCS_6S
+    sch = P.htdemucs_schema(cfg)
+    for name, cpp_shape in _cpp_transformer_shapes(*sizes).items():
+        assert name in sch, name
+        assert tuple(sch[name]) == cpp_shape, (name, sch[name], cpp_shape)
+    # 4s-only channel up/downsamplers (model.hpp:264-277)
+    if which == "4s":
+        assert tuple(sch["channel_upsampler.weight"]) == (512, 384, 1)
+        assert tuple(sch["channel_downsampler_t.weight"]) == (384, 512, 1)
+    else:
+        assert "channel_upsampler.weight" not in sch
+
+
 def test_v4_graph_constants_match_cpp():
     """Scalar constants from the C++ that the oracle could silently get
     wrong: emb scale 10*0.2 (model_inference.cpp:162-179), GroupNorm

@@ -48,24 +48,19 @@ def test_v3_layout_experiment_flags_equivalent():
     """v3 shares the experiment flags through _hdec_layer_v3_common and
     the shared epilogue; they must not change the math."""
     from demucs_tpu.models import htdemucs as M
-    from demucs_tpu.ops import conv as C
 
     cfg, params, _ = _setup(seed=2)
     rng = np.random.default_rng(13)
     mix = jnp.asarray((rng.standard_normal((1, 2, SEG)) * 0.1)
                       .astype(np.float32))
     fn = jax.jit(lambda p, m: hdemucs_v3_segment(p, m, cfg))
-    ref = np.asarray(fn(params, mix))
+    ref = np.asarray(fn(params, mix))  # defaults: both folds ON
+    old = (M.FOLD_ISPEC_TRIM, M.GLU_BIAS_FOLD)
     try:
-        M.FOLD_ISPEC_TRIM = True
-        M.GLU_BIAS_FOLD = True
-        C.SPLIT_PHASE_FREQ_CONV = True
-        C.CONV3X3_TAPFOLD = True
+        M.FOLD_ISPEC_TRIM = False
+        M.GLU_BIAS_FOLD = False
         out = np.asarray(jax.jit(
             lambda p, m: hdemucs_v3_segment(p, m, cfg))(params, mix))
     finally:
-        M.FOLD_ISPEC_TRIM = False
-        M.GLU_BIAS_FOLD = False
-        C.SPLIT_PHASE_FREQ_CONV = False
-        C.CONV3X3_TAPFOLD = False
+        M.FOLD_ISPEC_TRIM, M.GLU_BIAS_FOLD = old
     np.testing.assert_allclose(out, ref, atol=2e-6)

@@ -90,7 +90,6 @@ def test_htdemucs_layout_experiment_flags_equivalent():
     ispec trim fold, GLU bias fold) must not change the math — only how
     XLA lays it out. Asserted at fp32 against the default path."""
     from demucs_tpu.models import htdemucs as M
-    from demucs_tpu.ops import conv as C
 
     cfg = HTDEMUCS_4S
     params, _ = _setup(cfg, seed=3)
@@ -98,17 +97,13 @@ def test_htdemucs_layout_experiment_flags_equivalent():
     mix = jnp.asarray((rng.standard_normal((1, 2, SEG)) * 0.1)
                       .astype(np.float32))
     fn = jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))
-    ref = np.asarray(fn(params, mix))
+    ref = np.asarray(fn(params, mix))  # defaults: both folds ON
+    old = (M.FOLD_ISPEC_TRIM, M.GLU_BIAS_FOLD)
     try:
-        M.FOLD_ISPEC_TRIM = True
-        M.GLU_BIAS_FOLD = True
-        C.SPLIT_PHASE_FREQ_CONV = True
-        C.CONV3X3_TAPFOLD = True
+        M.FOLD_ISPEC_TRIM = False
+        M.GLU_BIAS_FOLD = False
         out = np.asarray(jax.jit(
             lambda p, m: htdemucs_segment(p, m, cfg))(params, mix))
     finally:
-        M.FOLD_ISPEC_TRIM = False
-        M.GLU_BIAS_FOLD = False
-        C.SPLIT_PHASE_FREQ_CONV = False
-        C.CONV3X3_TAPFOLD = False
+        M.FOLD_ISPEC_TRIM, M.GLU_BIAS_FOLD = old
     np.testing.assert_allclose(out, ref, atol=2e-6)
