@@ -41,6 +41,33 @@ FOLD_ISPEC_TRIM = os.environ.get("DT_FOLD_ISPEC_TRIM", "1") == "1"
 # measured alone: 738.8/735.4/737.0)
 GLU_BIAS_FOLD = os.environ.get("DT_GLU_BIAS_FOLD", "1") == "1"
 
+# Store encoder skip tensors as int8 (per-channel dynamic scales,
+# dequant fused into the decoder's skip-add). The skips are ~0.74 GB of
+# the ~60 GB a batch-8 step moves, so the ceiling is ~0.5% — and the
+# dynamic amax costs an extra full read of each skip, so the predicted
+# sign is NEGATIVE; kept as a flag to carry the measured number
+# (VERDICT r2 #3). Env DT_INT8_SKIPS=1 enables.
+INT8_SKIPS = os.environ.get("DT_INT8_SKIPS", "0") == "1"
+
+
+def _quantize_skip(x: jnp.ndarray, ch_axis: int):
+    """(tensor) -> (int8 q, f32 per-channel scale) when INT8_SKIPS."""
+    if not INT8_SKIPS:
+        return x
+    axes = tuple(a for a in range(x.ndim) if a != ch_axis % x.ndim)
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _dequant_skip(s, dtype):
+    if not INT8_SKIPS:
+        return s
+    q, scale = s
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
 # The frequency branch flows in F-major (B, F, C, T) layout end to end
 # (see ops/conv.py F-major helpers): the `(b f) c t` DConv fold becomes
 # a pure reshape instead of a transpose, and every freq-axis conv works
@@ -293,8 +320,8 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
             emb = params["freq_emb"]["embedding"]["weight"]  # (F/4, C0)
             x = x + cfg.freq_emb_scale * jnp.asarray(emb)[None, :, :, None]
         mark(f"encoder {i}")
-        saved.append(x)
-        savedt.append(xt)
+        saved.append(_quantize_skip(x, ch_axis=2))    # (B, F, C, T)
+        savedt.append(_quantize_skip(xt, ch_axis=1))  # (B, C, T)
 
     # --- bottleneck transformer (with 4s channel up/downsampling).
     # the 1x1 channel resampler commutes with the (F*T) flatten the
@@ -319,9 +346,11 @@ def htdemucs_segment(params: dict, mix: jnp.ndarray,
     # --- decoders (skips consumed innermost-first)
     for i in range(cfg.depth):
         last = i == cfg.depth - 1
-        x = _hdec_layer(x, saved[cfg.depth - 1 - i], params["decoder"][i], last)
+        x = _hdec_layer(x, _dequant_skip(saved[cfg.depth - 1 - i], x.dtype),
+                        params["decoder"][i], last)
         mark(f"decoder {i}")
-        xt = _tdec_layer(xt, savedt[cfg.depth - 1 - i], params["tdecoder"][i],
+        xt = _tdec_layer(xt, _dequant_skip(savedt[cfg.depth - 1 - i], xt.dtype),
+                         params["tdecoder"][i],
                          lengths[cfg.depth - 1 - i], last)
         mark(f"tdecoder {i}")
 

@@ -23,7 +23,6 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..pipeline import ApplyOptions, Separator
-from ..utils.progress import ProgressCallback
 from .sharding import batch_pspec, param_pspecs
 
 
@@ -129,6 +128,16 @@ class ShardedSeparator(Separator):
         self.mesh = mesh
         self.options = options
         self.num_sources = num_sources
+        if options.transfer_int16:
+            from ..pipeline import PCM16_TRANSFER_SCALE
+
+            base_fn = model_fn
+
+            def model_fn(p, m, _f=base_fn):
+                out = _f(p, m).astype(jnp.float32)
+                q = jnp.round(out * PCM16_TRANSFER_SCALE)
+                return jnp.clip(q, -32768.0, 32767.0).astype(jnp.int16)
+
         if options.fine_progress:
             from ..utils.progress import stage_tracing
 
@@ -147,35 +156,9 @@ class ShardedSeparator(Separator):
             self._fn, self.params, self._in_sharding = make_sharded_fn(
                 model_fn, mesh, params)
 
-    def _run_batched(self, batch: np.ndarray,
-                     progress: ProgressCallback) -> np.ndarray:
-        bs = self.options.batch_size
-        n = batch.shape[0]
-        padded_n = math.ceil(n / bs) * bs
-        if padded_n != n:
-            batch = np.concatenate(
-                [batch, np.zeros((padded_n - n,) + batch.shape[1:], batch.dtype)])
-        outs = []
-        n_calls = padded_n // bs
-        multihost = jax.process_count() > 1
-        for i in range(0, padded_n, bs):
-            if multihost:  # all processes see the same full track
-                chunk = jax.make_array_from_callback(
-                    batch[i:i + bs].shape, self._in_sharding,
-                    lambda idx, _b=batch[i:i + bs]: _b[idx])
-            else:
-                chunk = jax.device_put(batch[i:i + bs], self._in_sharding)
-            if self.options.fine_progress:
-                from ..utils.progress import stage_sink
-                done = i // bs
-
-                def to_global(frac, msg, _done=done):
-                    progress((_done + frac) / n_calls, msg)
-
-                with stage_sink(to_global):
-                    outs.append(self._call_device(chunk))
-            else:
-                outs.append(self._call_device(chunk))
-            progress(min((i + bs) / padded_n, 1.0),
-                     f"segments {min(i + bs, n)}/{n}")
-        return np.concatenate(outs)[:n]
+    def _place(self, host: np.ndarray):
+        if jax.process_count() > 1:  # all processes see the same full track
+            return jax.make_array_from_callback(
+                host.shape, self._in_sharding,
+                lambda idx, _b=host: _b[idx])
+        return jax.device_put(host, self._in_sharding)

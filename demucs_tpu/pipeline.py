@@ -47,6 +47,27 @@ class ApplyOptions:
     # src/model_inference.cpp:156-346) via jax.debug.callback markers;
     # off by default to keep the hot graph callback-free
     fine_progress: bool = False
+    # Encode stems to int16 ON DEVICE before the device->host fetch:
+    # halves the dominant transfer on slow host links (the tunneled-TPU
+    # serving path moves 88 MB of f32 stems per batch-8 step at
+    # ~34 MB/s). Quantization step in the normalized domain is
+    # 4/32767 ~ 1.2e-4 (~69 dB below a 0.1-rms stem, far under the
+    # model's ~8 dB separation SDR); the CLI's WAV output is PCM16
+    # anyway. Off by default: f32 transfers stay bit-exact.
+    transfer_int16: bool = False
+    # Device calls dispatched ahead of the oldest un-fetched result, so
+    # compute and host transfers can overlap (dispatch is async; only
+    # the np.asarray fetch blocks). Measured on the tunneled TPU:
+    # depth > 1 is consistently SLOWER there (13.4 -> 11.8 audio-s/s at
+    # depth 3 — fetches contend with queued compute on the tunnel), so
+    # the default stays serial; raise it on locally-attached devices.
+    pipeline_depth: int = 1
+    # Route __call__/demix through separate_fused: split + segment
+    # graph + weighted overlap-add all ON DEVICE, one upload and one
+    # stem download per track (the minimum host-link bytes). One
+    # compile per (n_segments, padded_length) bucket — best for
+    # serving at fixed/bucketed track lengths.
+    fused_track: bool = False
 
     def with_segment(self, segment_samples: int | None) -> "ApplyOptions":
         """Copy with a shorter segment; the shift pad must stay well
@@ -58,6 +79,14 @@ class ApplyOptions:
             segment_samples=segment_samples,
             max_shift_secs=min(self.max_shift_secs,
                                segment_samples / C.SAMPLE_RATE / 4))
+
+
+# int16 transfer scale: 8.0 of headroom in the normalized track domain
+# (the normalized mix has unit std; music stems peak at a few sigma, so
+# 8 sigma practically never clips while the quantization step stays
+# 8/32767 = 2.4e-4 — about -64 dB under a 0.1-rms stem, far below the
+# model's separation SDR and the final PCM16 WAV's own grid)
+PCM16_TRANSFER_SCALE = 32767.0 / 8.0
 
 
 def triangle_weight(segment: int, power: float = 1.0) -> np.ndarray:
@@ -128,8 +157,18 @@ class Separator:
                  jit: bool = True):
         self.options = options or ApplyOptions()
         self.num_sources = num_sources
+        self._model_fn = model_fn       # raw (pre-wrap), for the fused path
+        self._fused_cache: dict = {}
         if jit:
             self.params = jax.tree.map(jnp.asarray, params)
+            if self.options.transfer_int16:
+                inner_fn = model_fn
+
+                def model_fn(p, m):
+                    out = inner_fn(p, m).astype(jnp.float32)
+                    q = jnp.round(out * PCM16_TRANSFER_SCALE)
+                    return jnp.clip(q, -32768.0, 32767.0).astype(jnp.int16)
+
             if self.options.fine_progress:
                 from .utils.progress import stage_tracing
 
@@ -146,18 +185,36 @@ class Separator:
             self.params = params
             self._fn = model_fn
 
-    def _call_device(self, chunk):
-        """One device step with a single retry on transient runtime
+    def _place(self, host: np.ndarray):
+        """Upload one host batch (ShardedSeparator places on a mesh)."""
+        return jnp.asarray(host)
+
+    def _postfetch(self, arr: np.ndarray) -> np.ndarray:
+        if arr.dtype == np.int16:  # transfer_int16 epilogue
+            return arr.astype(np.float32) / PCM16_TRANSFER_SCALE
+        return arr
+
+    def _dispatch_device(self, chunk):
+        """Enqueue one device step (async — returns device array(s))."""
+        return self._fn(self.params, chunk)
+
+    def _fetch_device(self, dev, redispatch) -> np.ndarray:
+        """Blocking fetch with a single retry on transient runtime
         failures (tunneled TPU backends occasionally surface
-        FAILED_PRECONDITION when the device resets between processes)."""
+        FAILED_PRECONDITION when the device resets between processes).
+        `redispatch()` re-enqueues the step for the retry."""
         try:
-            return np.asarray(self._fn(self.params, chunk))
+            return self._postfetch(np.asarray(dev))
         except jax.errors.JaxRuntimeError as e:  # pragma: no cover - device
             if "FAILED_PRECONDITION" not in str(e):
                 raise
             import time
             time.sleep(2.0)
-            return np.asarray(self._fn(self.params, chunk))
+            return self._postfetch(np.asarray(redispatch()))
+
+    def _call_device(self, chunk) -> np.ndarray:
+        return self._fetch_device(self._dispatch_device(chunk),
+                                  lambda: self._dispatch_device(chunk))
 
     def _run_batched(self, batch: np.ndarray,
                      progress: ProgressCallback) -> np.ndarray:
@@ -169,24 +226,48 @@ class Separator:
         if padded_n != n:
             batch = np.concatenate(
                 [batch, np.zeros((padded_n - n,) + batch.shape[1:], batch.dtype)])
-        for i in range(0, padded_n, bs):
-            if self.options.fine_progress:
-                from .utils.progress import stage_sink
+
+        if self.options.fine_progress:
+            # serial path: stage markers must attribute to the right call
+            from .utils.progress import stage_sink
+            for i in range(0, padded_n, bs):
                 done = i // bs
 
                 def to_global(frac, msg, _done=done):
                     progress((_done + frac) / n_calls, msg)
 
                 with stage_sink(to_global):
-                    outs.append(self._call_device(jnp.asarray(batch[i:i + bs])))
-            else:
-                outs.append(self._call_device(jnp.asarray(batch[i:i + bs])))
-            progress(min((i + bs) / padded_n, 1.0),
-                     f"segments {min(i + bs, n)}/{n}")
+                    outs.append(self._call_device(self._place(batch[i:i + bs])))
+                progress(min((i + bs) / padded_n, 1.0),
+                         f"segments {min(i + bs, n)}/{n}")
+            return np.concatenate(outs)[:n]
+
+        # pipelined path: keep up to pipeline_depth dispatched steps in
+        # flight so device compute overlaps the (often slower) host
+        # transfers; dispatch is async, only the fetch blocks.
+        from collections import deque
+        depth = max(1, self.options.pipeline_depth)
+        inflight: deque = deque()
+
+        def drain_one():
+            placed, dev = inflight.popleft()
+            outs.append(self._fetch_device(
+                dev, lambda _p=placed: self._dispatch_device(_p)))
+            done = min(len(outs) * bs, n)
+            progress(len(outs) / n_calls, f"segments {done}/{n}")
+
+        for i in range(0, padded_n, bs):
+            placed = self._place(batch[i:i + bs])
+            inflight.append((placed, self._dispatch_device(placed)))
+            if len(inflight) > depth:
+                drain_one()
+        while inflight:
+            drain_one()
         return np.concatenate(outs)[:n]
 
-    def _prepare(self, audio: np.ndarray, progress: ProgressCallback):
-        """normalize + shift + split one track -> (segment batch, state)."""
+    def _normalize_shift(self, audio: np.ndarray, progress: ProgressCallback):
+        """normalize + shift one track -> (shifted, (max_shift, offset,
+        N, ref_mean, ref_std))."""
         o = self.options
         N = audio.shape[-1]
 
@@ -210,7 +291,13 @@ class Separator:
         shifted = padded[:, offset:]  # length N + 2*max_shift - offset
         shifted = shifted[:, :N + max_shift - offset]
         progress(0.0, f"apply model w/ shift, offset: {offset}")
+        return shifted, (max_shift, offset, N, ref_mean, ref_std)
 
+    def _prepare(self, audio: np.ndarray, progress: ProgressCallback):
+        """normalize + shift + split one track -> (segment batch, state)."""
+        o = self.options
+        shifted, (max_shift, offset, N, ref_mean, ref_std) = \
+            self._normalize_shift(audio, progress)
         segment = o.segment_samples
         stride = int((1 - o.overlap) * segment)
         batch, meta = split_into_segments(shifted, segment, stride)
@@ -228,9 +315,96 @@ class Separator:
         out = combined[:, :, max_shift - offset:max_shift - offset + N]
         return out * ref_std + ref_mean
 
+    # --- fused whole-track path -----------------------------------------
+    # The reference streams segments through host buffers
+    # (src/model_apply.cpp:189); the batched path above keeps that
+    # host/device split. The fused path instead compiles split +
+    # segment graph + weighted overlap-add into ONE device program, so
+    # exactly one (C, L) upload and one (S, C, L) stem download cross
+    # the host link per track — the transfer-bound serving optimum
+    # (the tunneled-TPU link moves only ~34 MB/s).
+
+    def _fused_track_fn(self, n_seg: int, length: int):
+        key = (n_seg, length)
+        fn = self._fused_cache.get(key)
+        if fn is not None:
+            return fn
+        o = self.options
+        seg = o.segment_samples
+        stride = int((1 - o.overlap) * seg)
+        metas = []
+        for off in range(0, length, stride):
+            clen = min(seg, length - off)
+            metas.append((off, clen, (seg - clen) // 2))
+        assert len(metas) == n_seg, (len(metas), n_seg)
+        w_full = triangle_weight(seg, o.transition_power)
+        sum_w = np.zeros(length, np.float64)
+        for off, clen, _ in metas:
+            sum_w[off:off + clen] += w_full[:clen]
+        inv_sum_w = (1.0 / sum_w).astype(np.float32)
+        int16 = o.transfer_int16
+        model = self._model_fn
+
+        def fused(params, shifted):
+            x = shifted
+            if x.dtype == jnp.int16:
+                x = x.astype(jnp.float32) / PCM16_TRANSFER_SCALE
+            chunks = []
+            for off, clen, left in metas:
+                c = jax.lax.slice_in_dim(x, off, off + clen, axis=1)
+                if clen < seg:  # symmetric tail padding (split_into_segments)
+                    c = jnp.pad(c, ((0, 0), (left, seg - clen - left)))
+                chunks.append(c)
+            out = model(params, jnp.stack(chunks))        # (n, S, C, seg)
+            out = out.astype(jnp.float32)
+            w = jnp.asarray(w_full)
+            y = jnp.zeros(out.shape[1:3] + (length,), jnp.float32)
+            for i, (off, clen, left) in enumerate(metas):
+                contrib = w[:clen] * out[i, :, :, left:left + clen]
+                y = y.at[:, :, off:off + clen].add(contrib)
+            y = y * jnp.asarray(inv_sum_w)
+            if int16:
+                q = jnp.round(y * PCM16_TRANSFER_SCALE)
+                return jnp.clip(q, -32768.0, 32767.0).astype(jnp.int16)
+            return y
+
+        fn = jax.jit(fused)
+        self._fused_cache[key] = fn
+        return fn
+
+    def separate_fused(self, audio: np.ndarray,
+                       progress: ProgressCallback = null_progress
+                       ) -> np.ndarray:
+        """(C, N) -> (S, C, N) via ONE device call for the whole track."""
+        o = self.options
+        shifted, (max_shift, offset, N, ref_mean, ref_std) = \
+            self._normalize_shift(audio, progress)
+        seg = o.segment_samples
+        stride = int((1 - o.overlap) * seg)
+        # snap the length to a stride multiple so compiled programs
+        # bucket by segment count, not by exact track length
+        Lp = math.ceil(shifted.shape[-1] / stride) * stride
+        if Lp != shifted.shape[-1]:
+            shifted = np.pad(shifted, ((0, 0), (0, Lp - shifted.shape[-1])))
+        n_seg = len(range(0, Lp, stride))
+        fn = self._fused_track_fn(n_seg, Lp)
+
+        up = shifted
+        if o.transfer_int16:
+            up = np.clip(np.round(shifted * PCM16_TRANSFER_SCALE),
+                         -32768, 32767).astype(np.int16)
+        placed = jnp.asarray(up)
+        y = self._fetch_device(fn(self.params, placed),
+                               lambda: fn(self.params, placed))
+        progress(1.0, f"segments {n_seg}/{n_seg}")
+        out = y[:, :, max_shift - offset:max_shift - offset + N]
+        return out * ref_std + ref_mean
+
     def __call__(self, audio: np.ndarray,
                  progress: ProgressCallback = null_progress) -> np.ndarray:
         """(C, N) float32 -> (S, C, N) float32."""
+        if self.options.fused_track:
+            return self.separate_fused(audio, progress)
         batch, state = self._prepare(audio, progress)
         chunk_out = self._run_batched(batch, progress)
         return self._finish(chunk_out, state)
@@ -243,6 +417,14 @@ class Separator:
         multi-track analog of the reference's per-track threading
         (cli-apps/threaded_inference.hpp), with no crossfade seams.
         """
+        if self.options.fused_track:
+            # per-track fused calls; same segment-count bucket -> same
+            # compiled program, and each track is one up/down transfer
+            outs = []
+            for k, tr in enumerate(tracks):
+                outs.append(self.separate_fused(tr))
+                progress((k + 1) / len(tracks), f"tracks {k + 1}/{len(tracks)}")
+            return outs
         batches, states = [], []
         for tr in tracks:
             b, s = self._prepare(tr, null_progress)
@@ -277,10 +459,24 @@ class SequentialBagSeparator(Separator):
         self._trees = [jax.tree.map(jnp.asarray, t) for t in param_trees]
         super().__init__(model_fn, self._trees[0], num_sources, options)
 
-    def _call_device(self, chunk):
-        outs = []
-        for i, tree in enumerate(self._trees):
+    def _dispatch_device(self, chunk):
+        devs = []
+        for tree in self._trees:
             self.params = tree
+            devs.append(self._fn(self.params, chunk))
+        return devs
+
+    def _fetch_device(self, devs, redispatch) -> np.ndarray:
+        def gather(ds):
             # model i contributes stem i only (the ft convention)
-            outs.append(super()._call_device(chunk)[:, i])
-        return np.stack(outs, axis=1)
+            return np.stack([self._postfetch(np.asarray(d))[:, i]
+                             for i, d in enumerate(ds)], axis=1)
+
+        try:
+            return gather(devs)
+        except jax.errors.JaxRuntimeError as e:  # pragma: no cover - device
+            if "FAILED_PRECONDITION" not in str(e):
+                raise
+            import time
+            time.sleep(2.0)
+            return gather(redispatch())

@@ -30,6 +30,13 @@ def main(argv=None) -> int:
     ap.add_argument("--http", action="store_true",
                     help="also measure the HTTP server path")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--f32-transfer", action="store_true",
+                    help="bit-exact f32 stem transfers (default: int16 "
+                         "device-side encoding, half the bytes)")
+    ap.add_argument("--pipeline-depth", type=int, default=1)
+    ap.add_argument("--fused", action="store_true",
+                    help="fused whole-track device program (on-device "
+                         "split + overlap-add; one up/down per track)")
     args = ap.parse_args(argv)
 
     from ..utils import enable_compile_cache
@@ -56,7 +63,10 @@ def main(argv=None) -> int:
               for _ in range(args.tracks)]
     total_audio_s = args.tracks * args.track_secs
 
-    opts = ApplyOptions(batch_size=args.batch, shift_offset=1337)
+    opts = ApplyOptions(batch_size=args.batch, shift_offset=1337,
+                        transfer_int16=not args.f32_transfer,
+                        pipeline_depth=args.pipeline_depth,
+                        fused_track=args.fused)
     sep = Separator(lambda p, m: htdemucs_segment(p, m, cfg), tree,
                     num_sources=cfg.num_sources, options=opts)
 
@@ -70,6 +80,9 @@ def main(argv=None) -> int:
         "mode": "separate_many", "tracks": args.tracks,
         "track_secs": args.track_secs, "wall_s": round(dt, 3),
         "audio_s_per_s": round(total_audio_s / dt, 1),
+        "int16_transfer": not args.f32_transfer,
+        "pipeline_depth": args.pipeline_depth,
+        "fused": args.fused,
     }))
 
     # single-track latency (what one user waits for, post-warmup)

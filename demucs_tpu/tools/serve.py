@@ -92,7 +92,10 @@ def make_handler(session, options, max_body=MAX_BODY_BYTES):
             with zipfile.ZipFile(buf, "w") as z:
                 for i, name in enumerate(session.sources):
                     with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                        audio.write_wav(f.name, np.asarray(stems[i]))
+                        # int16 device transfer -> PCM16 response (same
+                        # precision class, 2x smaller payload)
+                        audio.write_wav(f.name, np.asarray(stems[i]),
+                                        pcm16=options.transfer_int16)
                         z.writestr(f"target_{i}_{name}.wav",
                                    Path(f.name).read_bytes())
             body = buf.getvalue()
@@ -105,7 +108,12 @@ def make_handler(session, options, max_body=MAX_BODY_BYTES):
     return Handler
 
 
-def make_server(model_path, port=0, segment_samples=None, batch=8):
+def make_server(model_path, port=0, segment_samples=None, batch=8,
+                transfer_int16=True, fused=True):
+    """transfer_int16 (default ON for serving): stems cross the
+    device->host link as int16 and the response WAVs are PCM16 —
+    halves both transfers; quantization is ~69 dB under a typical stem
+    (pipeline.PCM16_TRANSFER_SCALE). Pass False for bit-exact f32."""
     from ..pipeline import ApplyOptions
     from ..serving import DemixSession
 
@@ -113,7 +121,10 @@ def make_server(model_path, port=0, segment_samples=None, batch=8):
 
     enable_compile_cache()
     session = DemixSession(model_path)
-    options = ApplyOptions(batch_size=batch).with_segment(segment_samples)
+    options = ApplyOptions(batch_size=batch,
+                           transfer_int16=transfer_int16,
+                           fused_track=fused,
+                           ).with_segment(segment_samples)
     return ThreadingHTTPServer(("127.0.0.1", port),
                                make_handler(session, options))
 
@@ -124,9 +135,17 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8642)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--segment-samples", type=int, default=None)
+    ap.add_argument("--f32-transfer", action="store_true",
+                    help="bit-exact f32 stem transfers + f32 WAV "
+                         "responses (2x the bytes of the int16 default)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="use the host-side batched path instead of the "
+                         "fused whole-track device program")
     args = ap.parse_args(argv)
 
-    srv = make_server(args.model, args.port, args.segment_samples, args.batch)
+    srv = make_server(args.model, args.port, args.segment_samples, args.batch,
+                      transfer_int16=not args.f32_transfer,
+                      fused=not args.no_fused)
     print(f"listening on http://127.0.0.1:{srv.server_address[1]}",
           file=sys.stderr)
     try:

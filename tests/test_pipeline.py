@@ -162,3 +162,84 @@ def test_sequential_bag_matches_vmapped_bag():
     ref = Separator(bag_fn, stacked, 4, opts)(audio)
     assert out_seq.shape == ref.shape
     np.testing.assert_allclose(out_seq, ref, atol=1e-5)
+
+
+def test_pipelined_transfer_matches_serial():
+    """pipeline_depth > 1 (async dispatch-ahead) must be bit-identical
+    to the serial path — only the dispatch/fetch interleaving changes."""
+    rng = np.random.default_rng(7)
+    audio = (rng.standard_normal((2, 40000)) * 0.3).astype(np.float32)
+    base = ApplyOptions(segment_samples=4096, batch_size=2, shift_offset=33,
+                        max_shift_secs=0.02)
+    import dataclasses
+    serial = Separator(_identity_model, {}, 3,
+                       dataclasses.replace(base, pipeline_depth=1))
+    piped = Separator(_identity_model, {}, 3,
+                      dataclasses.replace(base, pipeline_depth=3))
+    np.testing.assert_array_equal(serial(audio), piped(audio))
+
+
+def test_int16_transfer_within_quantization_budget():
+    """transfer_int16 quantizes stems on device; the end-to-end error
+    must stay at the PCM16 step (8/32767 in the normalized domain,
+    scaled back by the track std). The 2x stem reaches ~8.7 sigma at
+    rare peaks — inside the ±8 headroom except a handful of samples,
+    which the atol absorbs via the overlap-add averaging."""
+    from demucs_tpu.pipeline import PCM16_TRANSFER_SCALE
+
+    rng = np.random.default_rng(8)
+    audio = (rng.standard_normal((2, 30000)) * 0.3).astype(np.float32)
+    base = ApplyOptions(segment_samples=4096, batch_size=4, shift_offset=0)
+    import dataclasses
+    exact = Separator(_identity_model, {}, 3, base)(audio)
+    quant = Separator(_identity_model, {}, 3,
+                      dataclasses.replace(base, transfer_int16=True))(audio)
+    # identity stems (0, 2) live well inside the ±8-sigma headroom:
+    # error bounded by one quantization step times the denorm std
+    std = audio.mean(0).std(ddof=1)
+    atol = 2.0 / PCM16_TRANSFER_SCALE * max(std, 1.0)
+    np.testing.assert_allclose(quant[0], exact[0], atol=atol)
+    np.testing.assert_allclose(quant[2], exact[2], atol=atol)
+    # the 2x stem is a unit-std Gaussian doubled -> rare ~9-sigma peaks
+    # saturate at the ±8 headroom exactly like the final PCM16 WAV
+    # would; everything below the clip stays at quantization precision
+    err1 = np.abs(quant[1] - exact[1])
+    assert (err1 > atol).mean() < 0.02           # only the peak tail clips
+    assert err1[np.abs(exact[1]) < 7.5 * std].max() <= atol
+    # faithful reconstruction, not a degenerate all-zeros pass
+    assert np.abs(quant[0] - audio).max() < 1e-3
+
+
+def test_fused_track_matches_batched():
+    """The fused whole-track device program (on-device split + segment
+    graph + weighted overlap-add) must reproduce the host-side batched
+    path to float precision — identical math, different placement."""
+    import dataclasses
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal((2, 50011)) * 0.3).astype(np.float32)
+    base = ApplyOptions(segment_samples=4096, batch_size=4, shift_offset=55,
+                        max_shift_secs=0.02)
+    batched = Separator(_identity_model, {}, 3, base)(audio)
+    fused = Separator(_identity_model, {}, 3,
+                      dataclasses.replace(base, fused_track=True))(audio)
+    assert fused.shape == batched.shape == (3, 2, 50011)
+    np.testing.assert_allclose(fused, batched, atol=2e-5)
+
+
+def test_fused_track_int16_and_many():
+    import dataclasses
+    rng = np.random.default_rng(10)
+    tracks = [(rng.standard_normal((2, 30000)) * 0.3).astype(np.float32),
+              (rng.standard_normal((2, 30000)) * 0.2).astype(np.float32)]
+    base = ApplyOptions(segment_samples=4096, batch_size=4, shift_offset=0)
+    exact = Separator(_identity_model, {}, 3, base)
+    fused = Separator(_identity_model, {}, 3,
+                      dataclasses.replace(base, fused_track=True,
+                                          transfer_int16=True))
+    outs = fused.separate_many(tracks)
+    assert len(fused._fused_cache) == 1  # same bucket -> one compile
+    for t, o in zip(tracks, outs):
+        ref = exact(t)
+        std = t.mean(0).std(ddof=1)
+        np.testing.assert_allclose(o[0], ref[0], atol=3e-4 * max(std, 1.0))
+        np.testing.assert_allclose(o[2], ref[2], atol=3e-4 * max(std, 1.0))

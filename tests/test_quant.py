@@ -147,3 +147,29 @@ def test_fp8_compute_supported_by_device_kind():
     assert fp8_compute_supported(FakeDev("tpu", "TPU v6e"))
     assert fp8_compute_supported(FakeDev("gpu", "H100"))
     assert not fp8_compute_supported(FakeDev("cpu"))
+
+
+def test_int8_skip_activations_within_sdr_budget():
+    """DT_INT8_SKIPS quantizes the encoder skip tensors to int8 with
+    per-channel dynamic scales. Skip noise passes through one decoder
+    stack: gate the output perturbation at the fp8 relative bound
+    (dSDR <= 0.05 dB at a nominal 10 dB separation SDR)."""
+    from demucs_tpu.models import htdemucs as M
+
+    cfg = HTDEMUCS_4S
+    params = _params(seed=3)
+    rng = np.random.default_rng(0)
+    mix = (rng.standard_normal((1, 2, SEG)) * 0.1).astype(np.float32)
+
+    ref = np.asarray(jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))(
+        params, jnp.asarray(mix)))
+    old = M.INT8_SKIPS
+    try:
+        M.INT8_SKIPS = True
+        out = np.asarray(jax.jit(
+            lambda p, m: htdemucs_segment(p, m, cfg))(params, jnp.asarray(mix)))
+    finally:
+        M.INT8_SKIPS = old
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < _FP8_REL_GATE, err
+    assert err > 0  # the flag actually changed the graph
