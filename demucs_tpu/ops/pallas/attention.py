@@ -91,7 +91,13 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     B, H, T, D = q.shape
     S = k.shape[2]
-    bt = _pick_block(T)
+    # VMEM-aware block targets: at bf16 the (896, S) f32 logits tile +
+    # double-buffered K/V fit the 16 MB scoped budget; f32 operands
+    # double the K/V resident bytes, so halve the q block (measured
+    # OOM otherwise: 16.62M > 16M at (48, 2688, 64) f32 inside the
+    # fused track program)
+    f32_operands = jnp.dtype(q.dtype).itemsize >= 4
+    bt = _pick_block(T, target=448 if f32_operands else 896)
     # full-S KV blocks win at Demucs lengths (3.20 vs 3.43 ms at
     # T=S=2688 with bt=896): one softmax pass, no online rescaling
     # rounds; logits stay under VMEM (896x2688 f32 = 9.6 MB). Full-T

@@ -28,7 +28,12 @@ class DemixSession:
     """Resident separation session (reference `modelInit`,
     src_wasm/demucs.cpp:70-84)."""
 
-    def __init__(self, model: str | Path | bytes, dtype=np.float32):
+    def __init__(self, model: str | Path | bytes, dtype=None):
+        if dtype is None:
+            # serving posture: bf16 on TPU (the measured-equal fast
+            # path — CLAUDE.md perf history), f32 elsewhere
+            dtype = (jnp.bfloat16
+                     if jax.devices()[0].platform == "tpu" else np.float32)
         self.cfg, params = load_model_params(model, dtype=dtype)
         self.params = jax.tree.map(jnp.asarray, params)
         if isinstance(self.cfg, HDemucsV3Config):
