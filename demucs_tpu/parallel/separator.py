@@ -125,6 +125,12 @@ class ShardedSeparator(Separator):
         options = dataclasses.replace(
             options,
             batch_size=max(dp, math.ceil(options.batch_size / dp) * dp))
+        if options.fused_track:
+            raise NotImplementedError(
+                "fused_track is a single-device serving path (one "
+                "host-link transfer per track); the mesh-sharded "
+                "separator keeps the batched dp path — drop fused_track "
+                "or use pipeline.Separator")
         self.mesh = mesh
         self.options = options
         self.num_sources = num_sources

@@ -394,8 +394,11 @@ class Separator:
             up = np.clip(np.round(shifted * PCM16_TRANSFER_SCALE),
                          -32768, 32767).astype(np.int16)
         placed = jnp.asarray(up)
-        y = self._fetch_device(fn(self.params, placed),
-                               lambda: fn(self.params, placed))
+        # explicit base-class fetch: subclasses specialize _fetch_device
+        # for their *batched* dispatch shape (e.g. the bag's list of
+        # per-model outputs); the fused program returns one array
+        y = Separator._fetch_device(self, fn(self.params, placed),
+                                    lambda: fn(self.params, placed))
         progress(1.0, f"segments {n_seg}/{n_seg}")
         out = y[:, :, max_shift - offset:max_shift - offset + N]
         return out * ref_std + ref_mean
@@ -458,6 +461,17 @@ class SequentialBagSeparator(Separator):
         # duplicate model in HBM until the first _call_device)
         self._trees = [jax.tree.map(jnp.asarray, t) for t in param_trees]
         super().__init__(model_fn, self._trees[0], num_sources, options)
+
+    def separate_fused(self, audio: np.ndarray,
+                       progress: ProgressCallback = null_progress
+                       ) -> np.ndarray:
+        """Fused whole-track path, one device call per ensemble model;
+        model i contributes stem i (the ft convention)."""
+        outs = []
+        for i, tree in enumerate(self._trees):
+            self.params = tree
+            outs.append(super().separate_fused(audio, progress)[i])
+        return np.stack(outs)
 
     def _dispatch_device(self, chunk):
         devs = []

@@ -243,3 +243,33 @@ def test_fused_track_int16_and_many():
         std = t.mean(0).std(ddof=1)
         np.testing.assert_allclose(o[0], ref[0], atol=3e-4 * max(std, 1.0))
         np.testing.assert_allclose(o[2], ref[2], atol=3e-4 * max(std, 1.0))
+
+
+def test_sequential_bag_fused_matches_batched():
+    """fused_track on the ft bag must still apply the per-stem model
+    selection (one fused call per model), not silently run model 0."""
+    import dataclasses
+    from demucs_tpu.pipeline import SequentialBagSeparator
+
+    def model(params, mix):
+        return jnp.stack([mix * params["w"] * (i + 1) for i in range(4)],
+                         axis=1)
+
+    trees = [{"w": jnp.asarray(float(m + 1))} for m in range(4)]
+    rng = np.random.default_rng(11)
+    audio = rng.standard_normal((2, 20000)).astype(np.float32) * 0.3
+    base = ApplyOptions(segment_samples=4096, batch_size=4, shift_offset=0)
+    ref = SequentialBagSeparator(model, trees, 4, base)(audio)
+    fused = SequentialBagSeparator(
+        model, trees, 4, dataclasses.replace(base, fused_track=True))(audio)
+    np.testing.assert_allclose(fused, ref, atol=2e-5)
+
+
+def test_sharded_separator_rejects_fused():
+    import dataclasses
+    import pytest
+    from demucs_tpu.parallel import ShardedSeparator, make_mesh
+
+    opts = ApplyOptions(fused_track=True)
+    with pytest.raises(NotImplementedError):
+        ShardedSeparator(_identity_model, {}, 3, make_mesh(), opts)

@@ -1,0 +1,85 @@
+"""Training-step tests (net-new capability; the reference is
+inference-only — SURVEY.md §1). Tiny configs on the CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from demucs_tpu import params as P
+from demucs_tpu.config import HTDEMUCS_4S
+
+
+def _tiny():
+    cfg = dataclasses.replace(HTDEMUCS_4S, channels=8, bottom_channels=32,
+                              t_layers=3)
+    params = P.unflatten_tree(P.init_flat(P.htdemucs_schema(cfg), seed=0))
+    rng = np.random.default_rng(0)
+    seg = 8192
+    mix = jnp.asarray((rng.standard_normal((2, 2, seg)) * 0.1)
+                      .astype(np.float32))
+    refs = jnp.asarray((rng.standard_normal((2, cfg.num_sources, 2, seg))
+                        * 0.05).astype(np.float32))
+    return cfg, params, mix, refs
+
+
+def test_train_step_decreases_loss():
+    from demucs_tpu.train import make_train_step
+
+    cfg, params, mix, refs = _tiny()
+    import optax
+    init_fn, step_fn = make_train_step(cfg, optax.adam(1e-3))
+    opt_state = init_fn(params)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step_fn(params, opt_state, mix, refs)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # same batch every step: Adam must make progress on it
+    assert losses[-1] < losses[0]
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint changes memory, not math: grads must agree."""
+    from demucs_tpu.train import l1_loss
+
+    cfg, params, mix, refs = _tiny()
+    g1 = jax.grad(lambda p: l1_loss(p, mix, refs, cfg, remat=False))(params)
+    g2 = jax.grad(lambda p: l1_loss(p, mix, refs, cfg, remat=True))(params)
+    flat1, flat2 = jax.tree.leaves(g1), jax.tree.leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_train_step_matches_single():
+    """dp=2 x tp=2 sharded step == unsharded step (loss and params)."""
+    from demucs_tpu.parallel.mesh import make_mesh
+    from demucs_tpu.train import make_sharded_train_step, make_train_step
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg, params, mix, refs = _tiny()
+    import optax
+    opt = optax.adam(1e-3)
+
+    init_fn, step_fn = make_train_step(cfg, opt)
+    p_ref = jax.tree.map(lambda x: jnp.asarray(x), params)
+    s_ref = init_fn(p_ref)
+    p_ref, s_ref, l_ref = step_fn(p_ref, s_ref, mix, refs)
+
+    mesh = make_mesh(jax.devices()[:4], tp=2)
+    place_fn, sh_step, place_batch = make_sharded_train_step(mesh, cfg, opt)
+    p_sh, s_sh = place_fn(params)
+    mix_sh, refs_sh = place_batch(np.asarray(mix), np.asarray(refs))
+    p_sh, s_sh, l_sh = sh_step(p_sh, s_sh, mix_sh, refs_sh)
+
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    flat_r = P.flatten_tree(jax.tree.map(np.asarray, p_ref))
+    flat_s = P.flatten_tree(jax.tree.map(np.asarray, p_sh))
+    for k in list(flat_r)[::13]:  # sample the tree
+        np.testing.assert_allclose(flat_s[k], flat_r[k], rtol=2e-4,
+                                   atol=2e-5, err_msg=k)
