@@ -39,6 +39,60 @@ def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.
     return y if b is None else y + b.astype(x.dtype)
 
 
+def _sdpa_einsum(Q, K, V):
+    """Reference scaled-dot-product attention: (B,T,H,D),(B,S,H,D)x2
+    -> (B,T,H,D); fp32 softmax."""
+    D = Q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32)).astype(Q.dtype)
+    logits = jnp.einsum("bthd,bshd->bhts", Q, K) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32),
+                             axis=-1).astype(Q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", weights, V)
+
+
+@jax.custom_vjp
+def _sdpa(Q, K, V):
+    """SDPA with a hand-written VJP: the forward takes the pallas flash
+    kernel when available (custom calls have no autodiff rule), and the
+    backward recomputes the softmax instead of saving the (B,H,T,S)
+    attention weights — the flash-style memory trade for training."""
+    T, S = Q.shape[1], K.shape[1]
+    from .pallas.attention import flash_supported
+
+    if _use_flash() and flash_supported(T, S):
+        from .pallas import flash_mha
+        out = flash_mha(Q.transpose(0, 2, 1, 3), K.transpose(0, 2, 1, 3),
+                        V.transpose(0, 2, 1, 3))
+        return out.transpose(0, 2, 1, 3)
+    return _sdpa_einsum(Q, K, V)
+
+
+def _sdpa_fwd(Q, K, V):
+    return _sdpa(Q, K, V), (Q, K, V)
+
+
+def _sdpa_bwd(res, g):
+    import math
+
+    Q, K, V = res
+    D = Q.shape[-1]
+    scale = 1.0 / math.sqrt(D)
+    f32 = jnp.float32
+    logits = jnp.einsum("bthd,bshd->bhts", Q.astype(f32),
+                        K.astype(f32)) * scale
+    P = jax.nn.softmax(logits, axis=-1)                  # (B, H, T, S) f32
+    gf = g.astype(f32)
+    dV = jnp.einsum("bhts,bthd->bshd", P, gf)
+    dP = jnp.einsum("bthd,bshd->bhts", gf, V.astype(f32))
+    dS = P * (dP - jnp.sum(dP * P, axis=-1, keepdims=True))
+    dQ = jnp.einsum("bhts,bshd->bthd", dS, K.astype(f32)) * scale
+    dK = jnp.einsum("bhts,bthd->bshd", dS, Q.astype(f32)) * scale
+    return (dQ.astype(Q.dtype), dK.astype(K.dtype), dV.astype(V.dtype))
+
+
+_sdpa.defvjp(_sdpa_fwd, _sdpa_bwd)
+
+
 def multihead_attention(q: jnp.ndarray, kv: jnp.ndarray,
                         in_proj_weight: jnp.ndarray,
                         in_proj_bias: jnp.ndarray,
@@ -61,19 +115,7 @@ def multihead_attention(q: jnp.ndarray, kv: jnp.ndarray,
     K = linear(kv, wk, bk).reshape(B, S, H, D)
     V = linear(kv, wv, bv).reshape(B, S, H, D)
 
-    from .pallas.attention import flash_supported
-
-    if _use_flash() and flash_supported(T, S):
-        from .pallas import flash_mha
-        out = flash_mha(Q.transpose(0, 2, 1, 3), K.transpose(0, 2, 1, 3),
-                        V.transpose(0, 2, 1, 3))
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
-    else:
-        scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32)).astype(q.dtype)
-        logits = jnp.einsum("bthd,bshd->bhts", Q, K) * scale
-        weights = jax.nn.softmax(logits.astype(jnp.float32),
-                                 axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", weights, V).reshape(B, T, C)
+    out = _sdpa(Q, K, V).reshape(B, T, C)
     return linear(out, out_proj_weight, out_proj_bias)
 
 

@@ -83,3 +83,27 @@ def test_sharded_train_step_matches_single():
     for k in list(flat_r)[::13]:  # sample the tree
         np.testing.assert_allclose(flat_s[k], flat_r[k], rtol=2e-4,
                                    atol=2e-5, err_msg=k)
+
+
+def test_sdpa_custom_vjp_matches_autodiff():
+    """The hand-written SDPA backward (recompute softmax, flash-style)
+    must match JAX autodiff of the plain einsum implementation."""
+    from demucs_tpu.ops.attention import _sdpa, _sdpa_einsum
+
+    rng = np.random.default_rng(3)
+    B, T, S, H, D = 2, 24, 16, 4, 8
+    Q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    K = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    V = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+
+    def loss_custom(q, k, v):
+        return jnp.sum(jnp.square(_sdpa(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(_sdpa_einsum(q, k, v)))
+
+    g_c = jax.grad(loss_custom, argnums=(0, 1, 2))(Q, K, V)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(Q, K, V)
+    for a, b in zip(g_c, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
