@@ -16,7 +16,6 @@ Weight layouts follow PyTorch state dicts:
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp

@@ -96,10 +96,17 @@ def fp8_compute_supported(device=None) -> bool:
     advertise fp8; GPUs from Hopper/Ada do.
     """
     d = device if device is not None else jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
     if d.platform == "tpu":
-        kind = getattr(d, "device_kind", "").lower()
         return any(f"v{g}" in kind for g in range(6, 10))
-    return d.platform == "gpu"
+    if d.platform == "gpu":
+        # Hopper/Blackwell/Ada have fp8 tensor cores; Ampere and older
+        # (A100/V100/T4) emulate — warn there too
+        return any(t in kind for t in ("h100", "h200", "h800", "gh200",
+                                       "b100", "b200", "gb200",
+                                       "l4", "l40", "ada", "rtx 40",
+                                       "rtx 50"))
+    return False
 
 
 def _is_qleaf(x) -> bool:

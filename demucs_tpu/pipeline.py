@@ -55,13 +55,13 @@ class ApplyOptions:
     # model's ~8 dB separation SDR); the CLI's WAV output is PCM16
     # anyway. Off by default: f32 transfers stay bit-exact.
     transfer_int16: bool = False
-    # Device calls dispatched ahead of the oldest un-fetched result, so
-    # compute and host transfers can overlap (dispatch is async; only
-    # the np.asarray fetch blocks). Measured on the tunneled TPU:
-    # depth > 1 is consistently SLOWER there (13.4 -> 11.8 audio-s/s at
-    # depth 3 — fetches contend with queued compute on the tunnel), so
-    # the default stays serial; raise it on locally-attached devices.
-    pipeline_depth: int = 1
+    # Max device calls in flight: each fetch of result i may have up to
+    # (depth - 1) later steps already dispatched, so compute overlaps
+    # the (often slower) host transfers; 1 = strictly serial. Measured
+    # on the tunneled TPU (int16, 4x30 s tracks): depth 2 = 13.4
+    # audio-s/s is the knee — deeper queues contend with the fetch
+    # (depth 3 = 12.1, depth 4 = 11.8). Default 2.
+    pipeline_depth: int = 2
     # Route __call__/demix through separate_fused: split + segment
     # graph + weighted overlap-add all ON DEVICE, one upload and one
     # stem download per track (the minimum host-link bytes). One
@@ -159,6 +159,17 @@ class Separator:
         self.num_sources = num_sources
         self._model_fn = model_fn       # raw (pre-wrap), for the fused path
         self._fused_cache: dict = {}
+        o = self.options
+        if not jit and (o.transfer_int16 or o.fused_track):
+            raise ValueError(
+                "transfer_int16/fused_track are device-path options; the "
+                "jit=False (host-model) separator would silently ignore "
+                "transfer_int16 and cannot jit a host fn for fused_track")
+        if o.fused_track and o.fine_progress:
+            raise ValueError(
+                "fused_track compiles the whole track into one program — "
+                "the intra-segment fine_progress stages cannot be "
+                "reported per batch; choose one")
         if jit:
             self.params = jax.tree.map(jnp.asarray, params)
             if self.options.transfer_int16:
@@ -259,7 +270,9 @@ class Separator:
         for i in range(0, padded_n, bs):
             placed = self._place(batch[i:i + bs])
             inflight.append((placed, self._dispatch_device(placed)))
-            if len(inflight) > depth:
+            # depth = max steps in flight: depth 1 fetches each result
+            # before the next dispatch (true serial, the default)
+            if len(inflight) >= depth:
                 drain_one()
         while inflight:
             drain_one()
@@ -345,6 +358,13 @@ class Separator:
         int16 = o.transfer_int16
         model = self._model_fn
 
+        # cap the device batch at options.batch_size: long tracks would
+        # otherwise run one giant batch (batch ~16 already falls off a
+        # VMEM-residency cliff, docs/PROFILE_r3.md) — lax.map runs
+        # ceil(n/bs) sub-batches through ONE compiled body
+        bs = max(1, o.batch_size)
+        n_groups = -(-n_seg // bs)
+
         def fused(params, shifted):
             x = shifted
             if x.dtype == jnp.int16:
@@ -355,7 +375,16 @@ class Separator:
                 if clen < seg:  # symmetric tail padding (split_into_segments)
                     c = jnp.pad(c, ((0, 0), (left, seg - clen - left)))
                 chunks.append(c)
-            out = model(params, jnp.stack(chunks))        # (n, S, C, seg)
+            batch = jnp.stack(chunks)                     # (n, C, seg)
+            if n_groups == 1:
+                out = model(params, batch)                # (n, S, C, seg)
+            else:
+                pad_n = n_groups * bs - n_seg
+                if pad_n:
+                    batch = jnp.pad(batch, ((0, pad_n), (0, 0), (0, 0)))
+                grouped = batch.reshape(n_groups, bs, *batch.shape[1:])
+                out = jax.lax.map(lambda g: model(params, g), grouped)
+                out = out.reshape(n_groups * bs, *out.shape[2:])[:n_seg]
             out = out.astype(jnp.float32)
             w = jnp.asarray(w_full)
             y = jnp.zeros(out.shape[1:3] + (length,), jnp.float32)
@@ -468,9 +497,14 @@ class SequentialBagSeparator(Separator):
         """Fused whole-track path, one device call per ensemble model;
         model i contributes stem i (the ft convention)."""
         outs = []
+        n_models = len(self._trees)
         for i, tree in enumerate(self._trees):
             self.params = tree
-            outs.append(super().separate_fused(audio, progress)[i])
+
+            def scaled(frac, msg, _i=i):
+                progress((_i + frac) / n_models, f"model {_i}: {msg}")
+
+            outs.append(super().separate_fused(audio, scaled)[i])
         return np.stack(outs)
 
     def _dispatch_device(self, chunk):

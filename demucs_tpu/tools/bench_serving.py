@@ -33,7 +33,7 @@ def main(argv=None) -> int:
     ap.add_argument("--f32-transfer", action="store_true",
                     help="bit-exact f32 stem transfers (default: int16 "
                          "device-side encoding, half the bytes)")
-    ap.add_argument("--pipeline-depth", type=int, default=1)
+    ap.add_argument("--pipeline-depth", type=int, default=2)
     ap.add_argument("--fused", action="store_true",
                     help="fused whole-track device program (on-device "
                          "split + overlap-add; one up/down per track)")

@@ -83,9 +83,10 @@ def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
     and the tp collectives — the scaling-book recipe: annotate
     shardings, let XLA place psums on ICI.
 
-    Returns (place_fn, step_fn):
+    Returns (place_fn, step_fn, place_batch):
       place_fn(params)                      -> (placed_params, opt_state)
       step_fn(params, opt_state, mix, refs) -> (params, opt_state, loss)
+      place_batch(mix, refs)                -> device-placed (mix, refs)
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
