@@ -401,10 +401,10 @@ class Separator:
         self._fused_cache[key] = fn
         return fn
 
-    def separate_fused(self, audio: np.ndarray,
-                       progress: ProgressCallback = null_progress
-                       ) -> np.ndarray:
-        """(C, N) -> (S, C, N) via ONE device call for the whole track."""
+    def _fused_dispatch(self, audio: np.ndarray,
+                        progress: ProgressCallback = null_progress):
+        """Prep + async-dispatch one track's fused program; returns
+        (device_out, redispatch, finish_state)."""
         o = self.options
         shifted, (max_shift, offset, N, ref_mean, ref_std) = \
             self._normalize_shift(audio, progress)
@@ -423,14 +423,28 @@ class Separator:
             up = np.clip(np.round(shifted * PCM16_TRANSFER_SCALE),
                          -32768, 32767).astype(np.int16)
         placed = jnp.asarray(up)
+        return (fn(self.params, placed),
+                lambda: fn(self.params, placed),
+                (n_seg, max_shift, offset, N, ref_mean, ref_std))
+
+    def _fused_collect(self, dev, redispatch, state,
+                       progress: ProgressCallback = null_progress
+                       ) -> np.ndarray:
+        n_seg, max_shift, offset, N, ref_mean, ref_std = state
         # explicit base-class fetch: subclasses specialize _fetch_device
         # for their *batched* dispatch shape (e.g. the bag's list of
         # per-model outputs); the fused program returns one array
-        y = Separator._fetch_device(self, fn(self.params, placed),
-                                    lambda: fn(self.params, placed))
+        y = Separator._fetch_device(self, dev, redispatch)
         progress(1.0, f"segments {n_seg}/{n_seg}")
         out = y[:, :, max_shift - offset:max_shift - offset + N]
         return out * ref_std + ref_mean
+
+    def separate_fused(self, audio: np.ndarray,
+                       progress: ProgressCallback = null_progress
+                       ) -> np.ndarray:
+        """(C, N) -> (S, C, N) via ONE device call for the whole track."""
+        dev, redispatch, state = self._fused_dispatch(audio, progress)
+        return self._fused_collect(dev, redispatch, state, progress)
 
     def __call__(self, audio: np.ndarray,
                  progress: ProgressCallback = null_progress) -> np.ndarray:
@@ -451,11 +465,32 @@ class Separator:
         """
         if self.options.fused_track:
             # per-track fused calls; same segment-count bucket -> same
-            # compiled program, and each track is one up/down transfer
+            # compiled program, and each track is one up/down transfer.
+            # Subclasses that override separate_fused (the sequential
+            # bag) keep the simple loop; the base pipelines track k+1's
+            # prep+dispatch behind track k's fetch (pipeline_depth).
             outs = []
-            for k, tr in enumerate(tracks):
-                outs.append(self.separate_fused(tr))
-                progress((k + 1) / len(tracks), f"tracks {k + 1}/{len(tracks)}")
+            if type(self).separate_fused is not Separator.separate_fused:
+                for k, tr in enumerate(tracks):
+                    outs.append(self.separate_fused(tr))
+                    progress((k + 1) / len(tracks),
+                             f"tracks {k + 1}/{len(tracks)}")
+                return outs
+            from collections import deque
+            depth = max(1, self.options.pipeline_depth)
+            inflight: deque = deque()
+
+            def drain_one():
+                outs.append(self._fused_collect(*inflight.popleft()))
+                progress(len(outs) / len(tracks),
+                         f"tracks {len(outs)}/{len(tracks)}")
+
+            for tr in tracks:
+                inflight.append(self._fused_dispatch(tr))
+                if len(inflight) >= depth:
+                    drain_one()
+            while inflight:
+                drain_one()
             return outs
         batches, states = [], []
         for tr in tracks:

@@ -49,11 +49,18 @@ def l1_loss(params: dict, mix: jnp.ndarray, refs: jnp.ndarray,
 def make_train_step(cfg: HTDemucsConfig,
                     optimizer: optax.GradientTransformation | None = None,
                     loss_fn: Callable | None = None,
-                    remat: bool = False):
+                    remat: bool = False,
+                    ema_decay: float | None = None):
     """Returns (init_fn, step_fn).
 
-    init_fn(params) -> opt_state
-    step_fn(params, opt_state, mix, refs) -> (params, opt_state, loss)
+    Without ema_decay:
+      init_fn(params) -> opt_state
+      step_fn(params, opt_state, mix, refs) -> (params, opt_state, loss)
+    With ema_decay (the upstream demucs trainer keeps batch-level EMA
+    copies of the weights for evaluation, demucs/solver.py):
+      init_fn(params) -> (opt_state, ema_params)
+      step_fn(params, (opt_state, ema), mix, refs)
+          -> (params, (opt_state, ema), loss)
 
     step_fn is jitted with donated params/opt_state (in-place update on
     device — no second copy of the model in HBM).
@@ -62,14 +69,25 @@ def make_train_step(cfg: HTDemucsConfig,
     loss = loss_fn or functools.partial(l1_loss, cfg=cfg, remat=remat)
 
     def init_fn(params):
+        if ema_decay is not None:
+            return opt.init(params), jax.tree.map(jnp.asarray, params)
         return opt.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params, opt_state, mix, refs):
+        ema = None
+        if ema_decay is not None:
+            opt_state, ema = opt_state
         l, grads = jax.value_and_grad(
             lambda p: loss(p, mix, refs))(params)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, l
+        params = optax.apply_updates(params, updates)
+        if ema_decay is not None:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype)
+                * (1.0 - ema_decay), ema, params)
+            return params, (opt_state, ema), l
+        return params, opt_state, l
 
     return init_fn, step_fn
 

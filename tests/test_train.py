@@ -107,3 +107,28 @@ def test_sdpa_custom_vjp_matches_autodiff():
     for a, b in zip(g_c, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_ema_tracks_params():
+    """EMA weights converge toward the trained weights at rate
+    (1 - decay) per step and stay a valid model pytree."""
+    from demucs_tpu.train import make_train_step
+
+    cfg, params, mix, refs = _tiny()
+    import optax
+    init_fn, step_fn = make_train_step(cfg, optax.adam(1e-3),
+                                       ema_decay=0.5)
+    state = init_fn(params)
+    p0 = jax.tree.leaves(params)[0].copy()
+    p, s, _ = step_fn(params, state, mix, refs)
+    p, s, _ = step_fn(p, s, mix, refs)
+    _, ema = s
+    leaf_p = np.asarray(jax.tree.leaves(p)[0])
+    leaf_e = np.asarray(jax.tree.leaves(ema)[0])
+    leaf_0 = np.asarray(p0)
+    # ema lies strictly between the init and the current params
+    # wherever they moved
+    moved = np.abs(leaf_p - leaf_0) > 1e-7
+    between = ((leaf_e - leaf_0) * (leaf_p - leaf_e))[moved]
+    assert (between >= -1e-12).all()
+    assert not np.allclose(leaf_e, leaf_p)
