@@ -92,6 +92,61 @@ def make_train_step(cfg: HTDemucsConfig,
     return init_fn, step_fn
 
 
+def save_train_state(path, params, opt_state, step: int) -> None:
+    """Checkpoint the full training state (params + optimizer moments +
+    step) as one Orbax checkpoint — the resume counterpart the
+    inference-only reference never needed. Params stay in the flat
+    PyTorch-named layout (params/orbax_io.py contract) so a training
+    checkpoint's weights also load directly for inference."""
+    import numpy as np
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    from .params.tree import flatten_tree
+
+    state = {
+        "step": np.asarray(step, np.int64),
+        "params": {k: np.asarray(v)
+                   for k, v in flatten_tree(params).items()},
+        "opt_state": jax.tree.map(np.asarray, opt_state),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        # force: periodic saves overwrite the same path (resume keeps
+        # only the latest state, like the upstream solver's one-file
+        # checkpoint.th)
+        ckptr.save(Path(path).absolute(), state, force=True)
+
+
+def load_train_state(path, params_like,
+                     optimizer: optax.GradientTransformation):
+    """Restore (params, opt_state, step) from save_train_state.
+
+    params_like: any tree with the right shapes/dtypes (e.g. a fresh
+    init) — needed to rebuild the optimizer-state pytree structure
+    (optax namedtuples) for Orbax's typed restore.
+    """
+    import numpy as np
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    from .params.tree import flatten_tree, unflatten_tree
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        params_like)
+    target = {
+        "step": np.asarray(0, np.int64),
+        "params": {k: jax.ShapeDtypeStruct(np.shape(v),
+                                           np.asarray(v).dtype)
+                   for k, v in flatten_tree(params_like).items()},
+        "opt_state": jax.eval_shape(optimizer.init, abstract),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(Path(path).absolute(), target)
+    return (unflatten_tree(dict(state["params"])), state["opt_state"],
+            int(state["step"]))
+
+
 def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
                             optimizer: optax.GradientTransformation | None = None,
                             remat: bool = False):

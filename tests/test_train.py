@@ -55,6 +55,7 @@ def test_remat_matches_no_remat():
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single():
     """dp=2 x tp=2 sharded step == unsharded step (loss and params)."""
     from demucs_tpu.parallel.mesh import make_mesh
@@ -132,3 +133,58 @@ def test_ema_tracks_params():
     between = ((leaf_e - leaf_0) * (leaf_p - leaf_e))[moved]
     assert (between >= -1e-12).all()
     assert not np.allclose(leaf_e, leaf_p)
+
+
+def test_checkpoint_resume_is_exact(tmp_path):
+    """save_train_state / load_train_state round-trips the full state:
+    training resumed from a checkpoint produces bit-identical params to
+    uninterrupted training."""
+    import optax
+    from demucs_tpu.train import (load_train_state, make_train_step,
+                                  save_train_state)
+
+    cfg, params, mix, refs = _tiny()
+    opt = optax.adam(1e-3)
+    init_fn, step_fn = make_train_step(cfg, opt)
+
+    # uninterrupted: 4 steps
+    p_ref = jax.tree.map(jnp.asarray, params)
+    s_ref = init_fn(p_ref)
+    for _ in range(4):
+        p_ref, s_ref, _ = step_fn(p_ref, s_ref, mix, refs)
+
+    # interrupted: 2 steps, checkpoint, restore, 2 more
+    p = jax.tree.map(jnp.asarray, params)
+    s = init_fn(p)
+    for _ in range(2):
+        p, s, _ = step_fn(p, s, mix, refs)
+    save_train_state(tmp_path / "ckpt", p, s, step=2)
+    p2, s2, step = load_train_state(tmp_path / "ckpt", params, opt)
+    assert step == 2
+    for _ in range(2):
+        p2, s2, _ = step_fn(p2, s2, mix, refs)
+
+    flat_a = jax.tree.leaves(p_ref)
+    flat_b = jax.tree.leaves(p2)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_train_cli_synthetic_smoke(tmp_path, capsys):
+    """End-to-end trainer CLI: synthetic data, 3 steps, checkpoint out,
+    then resume for 1 more step."""
+    from demucs_tpu.tools.train_cli import main as train_main
+
+    ck = str(tmp_path / "ck")
+    rc = train_main(["--synthetic", "--steps", "3", "--batch", "1",
+                     "--segment-samples", "8192", "--log-every", "1",
+                     "--ckpt", ck, "--save-every", "100"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "done: final loss" in out.out
+    rc = train_main(["--synthetic", "--steps", "4", "--batch", "1",
+                     "--segment-samples", "8192", "--ckpt", ck,
+                     "--resume", "--log-every", "1"])
+    assert rc == 0
+    assert "resumed at step 3" in capsys.readouterr().err
