@@ -401,10 +401,10 @@ class Separator:
         self._fused_cache[key] = fn
         return fn
 
-    def _fused_dispatch(self, audio: np.ndarray,
-                        progress: ProgressCallback = null_progress):
-        """Prep + async-dispatch one track's fused program; returns
-        (device_out, redispatch, finish_state)."""
+    def _fused_prepare(self, audio: np.ndarray,
+                       progress: ProgressCallback = null_progress):
+        """Prep one track for the fused program: normalize/shift/pad,
+        optional int16 encode, upload. Returns (fn, placed, state)."""
         o = self.options
         shifted, (max_shift, offset, N, ref_mean, ref_std) = \
             self._normalize_shift(audio, progress)
@@ -423,9 +423,16 @@ class Separator:
             up = np.clip(np.round(shifted * PCM16_TRANSFER_SCALE),
                          -32768, 32767).astype(np.int16)
         placed = jnp.asarray(up)
+        return fn, placed, (n_seg, max_shift, offset, N, ref_mean, ref_std)
+
+    def _fused_dispatch(self, audio: np.ndarray,
+                        progress: ProgressCallback = null_progress):
+        """Prep + async-dispatch one track's fused program; returns
+        (device_out, redispatch, finish_state)."""
+        fn, placed, state = self._fused_prepare(audio, progress)
         return (fn(self.params, placed),
                 lambda: fn(self.params, placed),
-                (n_seg, max_shift, offset, N, ref_mean, ref_std))
+                state)
 
     def _fused_collect(self, dev, redispatch, state,
                        progress: ProgressCallback = null_progress
@@ -529,18 +536,24 @@ class SequentialBagSeparator(Separator):
     def separate_fused(self, audio: np.ndarray,
                        progress: ProgressCallback = null_progress
                        ) -> np.ndarray:
-        """Fused whole-track path, one device call per ensemble model;
-        model i contributes stem i (the ft convention)."""
+        """Fused whole-track ft bag: ONE input upload shared by all
+        ensemble models, all model programs dispatched up front (the
+        later models' compute overlaps the earlier fetches), and only
+        stem i of model i crosses the host link (device-side slice —
+        1/S of the stem download vs running each model standalone)."""
+        fn, placed, state = self._fused_prepare(audio, progress)
+        n_seg, max_shift, offset, N, ref_mean, ref_std = state
+        devs = [fn(tree, placed)[i]
+                for i, tree in enumerate(self._trees)]
         outs = []
-        n_models = len(self._trees)
-        for i, tree in enumerate(self._trees):
-            self.params = tree
-
-            def scaled(frac, msg, _i=i):
-                progress((_i + frac) / n_models, f"model {_i}: {msg}")
-
-            outs.append(super().separate_fused(audio, scaled)[i])
-        return np.stack(outs)
+        for i, (tree, dev) in enumerate(zip(self._trees, devs)):
+            y = Separator._fetch_device(
+                self, dev, lambda _t=tree, _i=i: fn(_t, placed)[_i])
+            outs.append(y)
+            progress((i + 1) / len(self._trees),
+                     f"model {i + 1}/{len(self._trees)}")
+        out = np.stack(outs)[:, :, max_shift - offset:max_shift - offset + N]
+        return out * ref_std + ref_mean
 
     def _dispatch_device(self, chunk):
         devs = []

@@ -167,12 +167,21 @@ def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
 
     opt = optimizer or optax.adam(3e-4)
 
+    def _put(x, sh):
+        if jax.process_count() > 1:
+            # every process holds the full host copy; build the global
+            # array by per-shard index callbacks (device_put cannot
+            # target non-addressable devices)
+            import numpy as np
+
+            return jax.make_array_from_callback(
+                np.shape(x), sh, lambda idx, _x=np.asarray(x): _x[idx])
+        return jax.device_put(jnp.asarray(x), sh)
+
     def place_fn(params):
         pspecs = param_pspecs(params, mesh)
         shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
-        placed = jax.tree.map(
-            lambda x, sh: jax.device_put(jnp.asarray(x), sh),
-            params, shardings)
+        placed = jax.tree.map(_put, params, shardings)
         # optimizer state mirrors its parameter's sharding for free:
         # opt.init builds moments with zeros_like on the placed arrays,
         # which inherit the input sharding; step counters replicate
@@ -190,6 +199,6 @@ def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
         return optax.apply_updates(params, updates), opt_state, l
 
     def place_batch(mix, refs):
-        return (jax.device_put(mix, in_batch), jax.device_put(refs, in_refs))
+        return (_put(mix, in_batch), _put(refs, in_refs))
 
     return place_fn, step_fn, place_batch

@@ -66,3 +66,62 @@ def test_two_process_hybrid_mesh_separation(tmp_path):
              ).astype(np.float32)
     ref = sep(track)
     np.testing.assert_allclose(outs[0], ref, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_training_step(tmp_path):
+    """Distributed TRAINING over the hybrid mesh: two processes run the
+    same dp-sharded train step; losses and updated params must agree
+    across processes and with the single-process step."""
+    out = tmp_path / "train"
+    port = "19859"
+    env = {**os.environ, "PYTHONPATH": str(REPO)}
+    worker = Path(__file__).parent / "multiproc_train_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", port, str(out)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(REPO), env=env)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i} failed:\n{logs[i][-3000:]}"
+
+    d0 = np.load(f"{out}.0.npz")
+    d1 = np.load(f"{out}.1.npz")
+    assert d0["loss"] == d1["loss"]
+    np.testing.assert_array_equal(d0["leaf"], d1["leaf"])
+
+    # single-process reference (8-device mesh = same global dp)
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import optax
+
+    from demucs_tpu import params as P
+    from demucs_tpu.config import HTDEMUCS_4S
+    from demucs_tpu.parallel.mesh import make_mesh
+    from demucs_tpu.train import make_sharded_train_step
+
+    cfg = dataclasses.replace(HTDEMUCS_4S, channels=8, bottom_channels=32,
+                              t_layers=3)
+    params = P.unflatten_tree(P.init_flat(P.htdemucs_schema(cfg), seed=0))
+    mesh = make_mesh(jax.devices()[:8], tp=1)
+    rng = np.random.default_rng(0)
+    seg = 8192
+    mix = (rng.standard_normal((8, 2, seg)) * 0.1).astype(np.float32)
+    refs = (rng.standard_normal((8, cfg.num_sources, 2, seg)) * 0.05
+            ).astype(np.float32)
+    place_fn, step_fn, place_batch = make_sharded_train_step(
+        mesh, cfg, optax.adam(1e-3))
+    p, s = place_fn(params)
+    p, s, loss = step_fn(p, s, *place_batch(mix, refs))
+    np.testing.assert_allclose(float(d0["loss"]), float(loss), rtol=1e-6)
+    leaf_ref = np.asarray(jax.tree.leaves(p)[0])
+    np.testing.assert_allclose(d0["leaf"], leaf_ref, rtol=1e-5, atol=1e-7)
