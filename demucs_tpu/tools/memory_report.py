@@ -66,6 +66,39 @@ def compiled_memory(model: str = "4s", batch: int = 8,
     }
 
 
+def train_compiled_memory(model: str = "4s", batch: int = 2,
+                          segment: int = SEGMENT_SAMPLES,
+                          remat: bool = True) -> dict:
+    """Compile one TRAINING step (fwd + bwd + Adam) and return its HBM
+    budget — the number that sizes training batch per chip; remat
+    trades temp bytes for recompute."""
+    from ..train import make_train_step
+
+    cfg, schema_fn, seg_fn = _MODELS[model]
+    if seg_fn is not htdemucs_segment:
+        raise ValueError("training memory report covers the v4 family")
+    params = P.unflatten_tree(P.init_flat(schema_fn(cfg), seed=0))
+    init_fn, step_fn = make_train_step(cfg, remat=remat)
+    opt_state = jax.eval_shape(init_fn, params)
+    mix = jax.ShapeDtypeStruct((batch, 2, segment), jnp.float32)
+    refs = jax.ShapeDtypeStruct((batch, cfg.num_sources, 2, segment),
+                                jnp.float32)
+    abstract_params = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        params)
+    stats = step_fn.lower(abstract_params, opt_state, mix,
+                          refs).compile().memory_analysis()
+    return {
+        "model": model, "batch": batch, "segment": segment,
+        "remat": remat, "mode": "train",
+        "argument_bytes": stats.argument_size_in_bytes,
+        "output_bytes": stats.output_size_in_bytes,
+        "temp_bytes": stats.temp_size_in_bytes,
+        "code_bytes": stats.generated_code_size_in_bytes,
+        "peak_bytes": stats.peak_memory_in_bytes,
+    }
+
+
 def _fmt(n: int) -> str:
     return f"{n / 2**20:9.1f} MiB"
 
@@ -77,17 +110,27 @@ def main(argv=None):
     ap.add_argument("--segment", type=int, default=SEGMENT_SAMPLES)
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="report the TRAINING step (fwd+bwd+Adam, f32)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="with --train: disable jax.checkpoint")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
-    rep = compiled_memory(
-        args.model, args.batch, args.segment,
-        jnp.bfloat16 if args.dtype == "bf16" else jnp.float32, args.int8)
+    if args.train:
+        rep = train_compiled_memory(args.model, args.batch, args.segment,
+                                    remat=not args.no_remat)
+    else:
+        rep = compiled_memory(
+            args.model, args.batch, args.segment,
+            jnp.bfloat16 if args.dtype == "bf16" else jnp.float32, args.int8)
     if args.json:
         print(json.dumps(rep))
         return
+    mode = (f"train remat={rep['remat']}" if args.train
+            else f"dtype={rep['dtype']}")
     print(f"htdemucs-{args.model}  batch={args.batch} "
-          f"segment={args.segment} dtype={rep['dtype']}")
+          f"segment={args.segment} {mode}")
     for k in ("argument_bytes", "output_bytes", "temp_bytes",
               "code_bytes", "peak_bytes"):
         print(f"  {k[:-6]:<10}{_fmt(rep[k])}")

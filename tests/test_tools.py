@@ -205,3 +205,13 @@ def test_convert_pth_to_orbax(tmp_path):
     np.testing.assert_allclose(
         back["encoder.0.conv.weight"],
         flat["encoder.0.conv.weight"].astype(np.float16).astype(np.float32))
+
+
+def test_train_memory_report():
+    from demucs_tpu.tools.memory_report import train_compiled_memory
+
+    rep = train_compiled_memory("4s", batch=1, segment=65536, remat=True)
+    assert rep["mode"] == "train" and rep["peak_bytes"] > 0
+    norm = train_compiled_memory("4s", batch=1, segment=65536, remat=False)
+    # remat must not need MORE activation workspace
+    assert rep["temp_bytes"] <= norm["temp_bytes"]
