@@ -25,20 +25,30 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .config import HTDemucsConfig
-from .models import htdemucs_segment
+from .config import HDemucsV3Config, HTDemucsConfig
+from .models import hdemucs_v3_segment, htdemucs_segment
+
+
+def _segment_fn_for(cfg):
+    """v4 or v3 graph by config type (same dispatch as cli._segment_fn)."""
+    if isinstance(cfg, HDemucsV3Config):
+        return hdemucs_v3_segment
+    return htdemucs_segment
 
 
 def l1_loss(params: dict, mix: jnp.ndarray, refs: jnp.ndarray,
-            cfg: HTDemucsConfig, remat: bool = False) -> jnp.ndarray:
+            cfg: HTDemucsConfig | HDemucsV3Config,
+            remat: bool = False) -> jnp.ndarray:
     """Mean per-source L1 between separated and reference stems.
 
     mix: (B, 2, L); refs: (B, S, 2, L). The upstream demucs trainer's
-    default time-domain objective (args.optim.loss = l1).
+    default time-domain objective (args.optim.loss = l1). Works for
+    both the v4 (htdemucs) and v3 (hdemucs_mmi) families — the BiLSTM
+    scan and LocalAttention are plain differentiable JAX.
     """
-    fwd = htdemucs_segment
+    fwd = _segment_fn_for(cfg)
     if remat:
-        fwd = jax.checkpoint(htdemucs_segment,
+        fwd = jax.checkpoint(fwd,
                              policy=jax.checkpoint_policies.dots_saveable,
                              static_argnums=(2,))
     est = fwd(params, mix, cfg)

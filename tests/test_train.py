@@ -188,3 +188,31 @@ def test_train_cli_synthetic_smoke(tmp_path, capsys):
                      "--resume", "--log-every", "1"])
     assert rc == 0
     assert "resumed at step 3" in capsys.readouterr().err
+
+
+def test_v3_train_step_decreases_loss():
+    """The v3 family (BiLSTM + LocalAttention) trains through the same
+    step — the scan and attention ops are plain differentiable JAX."""
+    import optax
+    from demucs_tpu.config import HDEMUCS_V3
+    from demucs_tpu.train import make_train_step
+
+    # the v3 schema pins the real layer widths (the C++ struct table),
+    # so the test uses the full config with a short segment
+    cfg = HDEMUCS_V3
+    params = P.unflatten_tree(P.init_flat(P.hdemucs_v3_schema(cfg), seed=0))
+    rng = np.random.default_rng(1)
+    seg = 8192
+    mix = jnp.asarray((rng.standard_normal((1, 2, seg)) * 0.1)
+                      .astype(np.float32))
+    refs = jnp.asarray((rng.standard_normal((1, cfg.num_sources, 2, seg))
+                        * 0.05).astype(np.float32))
+    init_fn, step_fn = make_train_step(cfg, optax.adam(1e-3))
+    s = init_fn(params)
+    losses = []
+    p = params
+    for _ in range(3):
+        p, s, loss = step_fn(p, s, mix, refs)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
