@@ -113,35 +113,34 @@ def load_musdb_track(track_dir: str | Path,
     return np.stack([a[:, :n] for a in arrays])
 
 
-def make_augmented_train_step(cfg, optimizer=None, remat: bool = False):
+def make_augmented_train_step(cfg, optimizer=None, remat: bool = False,
+                              ema_decay: float | None = None):
     """Training step that augments ON DEVICE inside the jitted program.
 
     Returns (init_fn, step_fn):
-      init_fn(params) -> opt_state
+      init_fn(params) -> opt_state   (or (opt_state, ema) with ema_decay)
       step_fn(params, opt_state, key, stems(B,S,C,T))
           -> (params, opt_state, loss)
 
     The mix is the sum of the augmented stems; the augmentation ops are
-    elementwise/gather and fuse into the forward's first HBM pass.
+    elementwise/gather and fuse into the forward's first HBM pass. The
+    optimizer/EMA logic is train.make_step_impl — shared with the
+    non-augmented step, so the two can never diverge.
     """
     import functools
 
     import optax
 
-    from .train import l1_loss
+    from .train import l1_loss, make_init_fn, make_step_impl
 
     opt = optimizer or optax.adam(3e-4)
-
-    def init_fn(params):
-        return opt.init(params)
+    loss = functools.partial(l1_loss, cfg=cfg, remat=remat)
+    init_fn = make_init_fn(opt, ema_decay)
+    step_impl = make_step_impl(opt, loss, ema_decay)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params, opt_state, key, stems):
         aug = augment_stems(key, stems)
-        mix = mix_from_stems(aug)
-        l, grads = jax.value_and_grad(
-            lambda p: l1_loss(p, mix, aug, cfg, remat=remat))(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, l
+        return step_impl(params, opt_state, mix_from_stems(aug), aug)
 
     return init_fn, step_fn

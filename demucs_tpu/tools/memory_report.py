@@ -75,8 +75,6 @@ def train_compiled_memory(model: str = "4s", batch: int = 2,
     from ..train import make_train_step
 
     cfg, schema_fn, seg_fn = _MODELS[model]
-    if seg_fn is not htdemucs_segment:
-        raise ValueError("training memory report covers the v4 family")
     params = P.unflatten_tree(P.init_flat(schema_fn(cfg), seed=0))
     init_fn, step_fn = make_train_step(cfg, remat=remat)
     opt_state = jax.eval_shape(init_fn, params)

@@ -50,6 +50,8 @@ def main(argv=None) -> int:
     if args.ema is not None and args.ckpt:
         ap.error("--ema with --ckpt is not supported yet (the EMA tree "
                  "is not part of the checkpoint state)")
+    if args.resume and not args.ckpt:
+        ap.error("--resume needs --ckpt")
 
     from ..utils import enable_compile_cache
 
@@ -68,7 +70,7 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(args.seed)
 
     if args.synthetic:
-        tracks = [(rng.standard_normal((cfg.num_sources, 2, max(seg, 4 * seg)))
+        tracks = [(rng.standard_normal((cfg.num_sources, 2, 4 * seg))
                    * 0.05).astype(np.float32) for _ in range(2)]
     else:
         root = Path(args.data)
@@ -83,15 +85,11 @@ def main(argv=None) -> int:
     params = P.unflatten_tree(P.init_flat(P.htdemucs_schema(cfg),
                                           seed=args.seed))
     opt = optax.adam(args.lr)
-    # EMA rides inside the step only when requested (see train.py)
-    if args.ema is not None:
-        from ..train import make_train_step  # noqa: F401  (EMA variant)
-    init_fn, step_fn = make_augmented_train_step(cfg, opt, remat=args.remat)
+    init_fn, step_fn = make_augmented_train_step(cfg, opt, remat=args.remat,
+                                                 ema_decay=args.ema)
     opt_state = init_fn(params)
     start = 0
     if args.resume:
-        if not args.ckpt:
-            ap.error("--resume needs --ckpt")
         params, opt_state, start = load_train_state(args.ckpt, params, opt)
         print(f"resumed at step {start}", file=sys.stderr)
 
@@ -111,9 +109,18 @@ def main(argv=None) -> int:
         if args.ckpt and (step + 1) % args.save_every == 0:
             save_train_state(args.ckpt, params, opt_state, step + 1)
             print(f"checkpointed at step {step + 1}", file=sys.stderr)
+    if start >= args.steps:
+        print(f"nothing to do: resumed step {start} >= --steps "
+              f"{args.steps}; checkpoint left untouched", file=sys.stderr)
+        return 0
     if args.ckpt:
         save_train_state(args.ckpt, params, opt_state, args.steps)
         print(f"final checkpoint at {args.ckpt}", file=sys.stderr)
+    if args.ema is not None:
+        _, ema = opt_state
+        print(f"ema tree: {len(jax.tree.leaves(ema))} leaves "
+              "(in-memory; export via train.save_train_state on the "
+              "ema tree)", file=sys.stderr)
     print(f"done: final loss {loss:.5f}")
     return 0
 

@@ -77,14 +77,32 @@ def make_train_step(cfg: HTDemucsConfig,
     """
     opt = optimizer or optax.adam(3e-4)
     loss = loss_fn or functools.partial(l1_loss, cfg=cfg, remat=remat)
+    init_fn = make_init_fn(opt, ema_decay)
+    step_impl = make_step_impl(opt, loss, ema_decay)
+    return init_fn, jax.jit(step_impl, donate_argnums=(0, 1))
 
+
+def make_init_fn(opt: optax.GradientTransformation,
+                 ema_decay: float | None):
     def init_fn(params):
         if ema_decay is not None:
-            return opt.init(params), jax.tree.map(jnp.asarray, params)
+            # a REAL copy: jnp.asarray would alias device-placed params
+            # and the donated step would then try to donate the same
+            # buffer twice (argnum 0 and the ema leaf of argnum 1)
+            return opt.init(params), jax.tree.map(
+                lambda x: jnp.array(x, copy=True), params)
         return opt.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step_fn(params, opt_state, mix, refs):
+    return init_fn
+
+
+def make_step_impl(opt: optax.GradientTransformation, loss: Callable,
+                   ema_decay: float | None):
+    """Un-jitted (params, opt_state, mix, refs) -> (params, opt_state,
+    loss) body — shared by make_train_step and the augmented variant
+    (data.py) so the optimizer/EMA logic exists exactly once."""
+
+    def step_impl(params, opt_state, mix, refs):
         ema = None
         if ema_decay is not None:
             opt_state, ema = opt_state
@@ -99,7 +117,7 @@ def make_train_step(cfg: HTDemucsConfig,
             return params, (opt_state, ema), l
         return params, opt_state, l
 
-    return init_fn, step_fn
+    return step_impl
 
 
 def save_train_state(path, params, opt_state, step: int) -> None:
@@ -120,11 +138,25 @@ def save_train_state(path, params, opt_state, step: int) -> None:
                    for k, v in flatten_tree(params).items()},
         "opt_state": jax.tree.map(np.asarray, opt_state),
     }
+    # crash-safe overwrite: write the new state NEXT TO the live
+    # checkpoint, then swap with atomic renames — a kill during the
+    # save leaves the previous checkpoint intact (force=True's
+    # delete-then-write would destroy the only resumable state)
+    import shutil
+
+    path = Path(path).absolute()
+    new = path.with_name(path.name + ".new")
+    old = path.with_name(path.name + ".old")
+    for stale in (new, old):
+        if stale.exists():
+            shutil.rmtree(stale)
     with ocp.StandardCheckpointer() as ckptr:
-        # force: periodic saves overwrite the same path (resume keeps
-        # only the latest state, like the upstream solver's one-file
-        # checkpoint.th)
-        ckptr.save(Path(path).absolute(), state, force=True)
+        ckptr.save(new, state)
+    if path.exists():
+        path.rename(old)
+    new.rename(path)
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def load_train_state(path, params_like,
@@ -141,6 +173,14 @@ def load_train_state(path, params_like,
 
     from .params.tree import flatten_tree, unflatten_tree
 
+    path = Path(path).absolute()
+    if not path.exists():
+        # crash window between the two swap renames in save_train_state
+        for cand in (path.with_name(path.name + ".old"),
+                     path.with_name(path.name + ".new")):
+            if cand.exists():
+                path = cand
+                break
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         params_like)
@@ -152,7 +192,7 @@ def load_train_state(path, params_like,
         "opt_state": jax.eval_shape(optimizer.init, abstract),
     }
     with ocp.StandardCheckpointer() as ckptr:
-        state = ckptr.restore(Path(path).absolute(), target)
+        state = ckptr.restore(path, target)
     return (unflatten_tree(dict(state["params"])), state["opt_state"],
             int(state["step"]))
 
@@ -201,12 +241,10 @@ def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
     in_batch = NamedSharding(mesh, batch_pspec(3))
     in_refs = NamedSharding(mesh, batch_pspec(4))
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step_fn(params, opt_state, mix, refs):
-        l, grads = jax.value_and_grad(
-            lambda p: l1_loss(p, mix, refs, cfg, remat=remat))(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, l
+    step_fn = jax.jit(
+        make_step_impl(opt, functools.partial(l1_loss, cfg=cfg,
+                                              remat=remat), None),
+        donate_argnums=(0, 1))
 
     def place_batch(mix, refs):
         return (_put(mix, in_batch), _put(refs, in_refs))

@@ -207,6 +207,7 @@ def test_convert_pth_to_orbax(tmp_path):
         flat["encoder.0.conv.weight"].astype(np.float16).astype(np.float32))
 
 
+@pytest.mark.slow
 def test_train_memory_report():
     from demucs_tpu.tools.memory_report import train_compiled_memory
 

@@ -119,6 +119,9 @@ def test_ema_tracks_params():
     import optax
     init_fn, step_fn = make_train_step(cfg, optax.adam(1e-3),
                                        ema_decay=0.5)
+    # device-placed params: init_fn must make a REAL ema copy, or the
+    # donated step crashes with donate-the-same-buffer-twice
+    params = jax.tree.map(jnp.asarray, params)
     state = init_fn(params)
     p0 = jax.tree.leaves(params)[0].copy()
     p, s, _ = step_fn(params, state, mix, refs)
@@ -190,6 +193,7 @@ def test_train_cli_synthetic_smoke(tmp_path, capsys):
     assert "resumed at step 3" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_v3_train_step_decreases_loss():
     """The v3 family (BiLSTM + LocalAttention) trains through the same
     step — the scan and attention ops are plain differentiable JAX."""
