@@ -55,8 +55,12 @@ def _find_ft_models(model_dir: Path) -> list[Path]:
 
 def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
     opts = ApplyOptions(batch_size=args.batch,
-                        shift_offset=args.offset).with_segment(
-                            args.segment_samples)
+                        shift_offset=args.offset,
+                        transfer_int16=args.transfer_int16,
+                        fused_track=args.fused,
+                        fused_buckets=args.fused_buckets,
+                        pipeline_depth=args.pipeline_depth,
+                        ).with_segment(args.segment_samples)
 
     def maybe_quant(fn, tree):
         """Apply --bf16 / --int8 / --fp8 to one (fn, tree) pair. bf16 +
@@ -83,6 +87,13 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
     import jax
     devices = jax.devices()
     multi = len(devices) > 1 and not args.no_mesh
+    if args.fused and multi:
+        # fused_track is the single-device transfer-bound serving path
+        # (one host-link transfer per track); the mesh separator keeps
+        # the batched dp path instead
+        print("note: --fused is a single-device path; forcing "
+              "--no-mesh", file=sys.stderr)
+        multi = False
 
     if args.ft_dir:
         paths = _find_ft_models(Path(args.ft_dir))
@@ -96,11 +107,11 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
             single_fn, trees = fn_i, trees + [t_i]
         stacked = stack_bag_params(trees)
 
-        from .models.bag import bag_select
+        from .models.bag import bag_select, unrolled_model_map
 
         def bag_fn(p, m):
-            import jax as _jax
-            return bag_select(_jax.vmap(lambda pi: single_fn(pi, m))(p))
+            return bag_select(
+                unrolled_model_map(lambda pi: single_fn(pi, m), p))
 
         if multi:
             from .parallel import ShardedSeparator, make_mesh
@@ -113,9 +124,12 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
                 sep = ShardedSeparator(bag_fn, stacked, cfg.num_sources,
                                        mesh, opts)
         else:
-            from .pipeline import SequentialBagSeparator
-            sep = SequentialBagSeparator(single_fn, trees, cfg.num_sources,
-                                         opts)
+            # single device: the unrolled one-program bag (measured
+            # 193.3 audio-s/s vs 187.7 for 4 sequential dispatches and
+            # 161.2 for vmap — docs/bag_forms_micro.py); composes with
+            # --fused into one whole-track program for the whole
+            # ensemble (one upload, one selected-stem download)
+            sep = Separator(bag_fn, stacked, cfg.num_sources, opts)
         return sep, cfg.sources
 
     cfg, params = load_model_params(args.model)
@@ -127,6 +141,63 @@ def _build_separator(args) -> tuple[Separator, tuple[str, ...]]:
     else:
         sep = Separator(fn, params, cfg.num_sources, opts)
     return sep, cfg.sources
+
+
+def _run_stream(args) -> int:
+    """Chunked stateful separation (streaming.StreamingSeparator) —
+    the user-facing low-latency surface (reference analog: the WASM
+    worker feeding segments incrementally, src_wasm/demucs.cpp:86-171).
+    Output matches the offline pipeline run without the shift trick,
+    with causal normalization statistics."""
+    import jax.numpy as jnp
+
+    from . import config as C
+    from .streaming import StreamingSeparator
+
+    try:
+        in_path = Path(args.input)
+        if in_path.is_dir():
+            raise ValueError("--stream takes a single WAV, not a dir")
+        track = audio.load_track(in_path)
+        t0 = time.monotonic()
+        cfg, params = load_model_params(args.model)
+        fn = _segment_fn(cfg)
+        dtype = jnp.bfloat16 if args.bf16 else None  # None = TPU default
+        stream = StreamingSeparator(
+            fn, params, cfg.num_sources,
+            segment_samples=args.segment_samples or C.SEGMENT_SAMPLES,
+            dtype=dtype, max_batch=args.batch)
+        print(f"model loaded in {time.monotonic() - t0:.2f} s",
+              file=sys.stderr)
+    except (ValueError, FileNotFoundError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    N = track.shape[-1]
+    chunk = max(1, int(args.stream_chunk_secs * C.SAMPLE_RATE))
+    t0 = time.monotonic()
+    outs, emitted = [], 0
+    for pos in range(0, N, chunk):
+        out = stream.push(track[:, pos:pos + chunk])
+        if out.shape[-1]:
+            outs.append(out)
+            emitted += out.shape[-1]
+            print(f"\rstreamed {emitted}/{N} samples "
+                  f"({emitted / 44100.0:.1f} s)", end="", file=sys.stderr)
+    outs.append(stream.flush())
+    print("", file=sys.stderr)
+    dt = time.monotonic() - t0
+    stems = np.concatenate([o for o in outs if o.shape[-1]], -1)
+    print(f"streamed {N / 44100.0:.1f} s of audio in {dt:.1f} s "
+          f"({N / 44100.0 / dt:.2f}x realtime)", file=sys.stderr)
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    for i, name in enumerate(cfg.sources):
+        path = outdir / f"target_{i}_{name}.wav"
+        audio.write_wav(path, np.asarray(stems[i]), pcm16=args.pcm16)
+        print(f"wrote {path}", file=sys.stderr)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -157,6 +228,30 @@ def main(argv=None) -> int:
                     help="weight-only float8 e4m3 quantization")
     ap.add_argument("--no-mesh", action="store_true",
                     help="force single-device even if more are visible")
+    # serving-path knobs (the measured-best config on link-bound hosts:
+    # --fused --transfer-int16; see tools/bench_serving.py, CLAUDE.md)
+    ap.add_argument("--fused", action="store_true",
+                    help="fused whole-track device program: split + "
+                         "segment graph + overlap-add on device, ONE "
+                         "upload/download per track (2.6x on slow "
+                         "host links; single-device)")
+    ap.add_argument("--fused-buckets", choices=("exact", "geo"),
+                    default="exact",
+                    help="compile-bucket granularity for --fused "
+                         "(geo: log-many compiles over all lengths)")
+    ap.add_argument("--transfer-int16", action="store_true",
+                    help="int16 device->host stem transfers (halves "
+                         "the dominant transfer; ~69 dB below a "
+                         "typical stem)")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="device calls in flight (compute overlaps "
+                         "host transfers; measured knee = 2)")
+    ap.add_argument("--stream", action="store_true",
+                    help="chunked stateful streaming separation "
+                         "(stems finalized as audio arrives; no shift "
+                         "trick, causal normalization stats)")
+    ap.add_argument("--stream-chunk-secs", type=float, default=1.0,
+                    help="push granularity for --stream")
     ap.add_argument("--segment-samples", type=int, default=None,
                     help=argparse.SUPPRESS)  # testing: shrink the 7.8 s segment
     args = ap.parse_args(argv)
@@ -166,6 +261,13 @@ def main(argv=None) -> int:
 
     if bool(args.model) == bool(args.ft_dir):
         ap.error("provide exactly one of `model` or --ft-dir")
+    if args.stream:
+        if args.ft_dir:
+            ap.error("--stream drives a single model (not --ft-dir)")
+        if args.fused or args.transfer_int16:
+            ap.error("--stream has its own device path; drop "
+                     "--fused/--transfer-int16")
+        return _run_stream(args)
 
     try:
         in_path = Path(args.input)

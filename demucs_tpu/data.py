@@ -114,7 +114,9 @@ def load_musdb_track(track_dir: str | Path,
 
 
 def make_augmented_train_step(cfg, optimizer=None, remat: bool = False,
-                              ema_decay: float | None = None):
+                              ema_decay: float | None = None,
+                              remat_policy: str = "dots",
+                              compute_dtype=None):
     """Training step that augments ON DEVICE inside the jitted program.
 
     Returns (init_fn, step_fn):
@@ -134,7 +136,9 @@ def make_augmented_train_step(cfg, optimizer=None, remat: bool = False,
     from .train import l1_loss, make_init_fn, make_step_impl
 
     opt = optimizer or optax.adam(3e-4)
-    loss = functools.partial(l1_loss, cfg=cfg, remat=remat)
+    loss = functools.partial(l1_loss, cfg=cfg, remat=remat,
+                             remat_policy=remat_policy,
+                             compute_dtype=compute_dtype)
     init_fn = make_init_fn(opt, ema_decay)
     step_impl = make_step_impl(opt, loss, ema_decay)
 

@@ -170,6 +170,41 @@ def _dft_inv_conv_kernels(n: int, hop: int, in_bins: int,
     return mk(vr), mk(vi)
 
 
+def _conv_pe32(x: jnp.ndarray, k_np: np.ndarray, dtype, **kw) -> jnp.ndarray:
+    """conv_general_dilated with preferred_element_type=f32 that stays
+    differentiable with bf16 operands. JAX's conv transpose rule feeds
+    the (f32, because of the preferred type) cotangent straight into a
+    conv against the bf16 kernel and trips the same-dtype check
+    (jax 0.9 lax/convolution.py:545 — dot_general handles this, conv
+    does not), which breaks bf16-compute TRAINING through the inverse
+    DFT convs. The VJP here evaluates the transposed conv with the
+    kernel upcast to f32 — the same linear map (the kernel values are
+    the rounded bf16 ones), in f32 math — and casts the input cotangent
+    back. k_np is a host-side DFT constant (converted per-trace so no
+    tracer escapes the remat scope); no kernel gradient exists."""
+    kw = dict(kw, preferred_element_type=jnp.float32)
+    shape, dt = x.shape, x.dtype  # static at trace time
+
+    @jax.custom_vjp
+    def run(x):
+        return jax.lax.conv_general_dilated(x, jnp.asarray(k_np, dtype), **kw)
+
+    def fwd(x):
+        return run(x), None
+
+    def bwd(_, ct):
+        # kernel VALUES are the dtype-rounded ones; math in f32
+        k32 = jnp.asarray(k_np, dtype).astype(jnp.float32)
+        _, vjp = jax.vjp(
+            lambda v: jax.lax.conv_general_dilated(v, k32, **kw),
+            jnp.zeros(shape, jnp.float32))
+        (xbar,) = vjp(ct)
+        return (xbar.astype(dt),)
+
+    run.defvjp(fwd, bwd)
+    return run(x)
+
+
 def _inv_dft_ola_conv(re: jnp.ndarray, im: jnp.ndarray, n_fft: int,
                       hop: int, pad_t: int, fast: bool) -> jnp.ndarray:
     """re/im: (..., F_bins, T) spectra -> (..., hop*(T + 2*pad_t + ratio - 1))
@@ -183,14 +218,13 @@ def _inv_dft_ola_conv(re: jnp.ndarray, im: jnp.ndarray, n_fft: int,
     dtype = jnp.bfloat16 if fast else jnp.float32
 
     def conv(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
-        return jax.lax.conv_general_dilated(
+        return _conv_pe32(
             x.reshape(B, in_bins, T).astype(dtype),
-            jnp.asarray(k, dtype),
+            k, dtype,
             window_strides=(1,),
             padding=[(pad_t + ratio - 1, pad_t + ratio - 1)],
             dimension_numbers=("NCH", "OIH", "NHC"),
-            precision=None if fast else jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32)
+            precision=None if fast else jax.lax.Precision.HIGH)
 
     y = conv(re, kr) + conv(im, ki)        # (B, chunks, hop), f32
     if fast:
@@ -623,12 +657,11 @@ def ispec_cac_fmajor(x: jnp.ndarray, sources: int, length: int,
             out_spec=(0, 3, 1, 2))   # (batch, SC, T, n/2)
 
         def g(v, kmat):
-            return jax.lax.conv_general_dilated(
-                v.astype(dtype), jnp.asarray(kmat, dtype)[:, :, None, None],
+            return _conv_pe32(
+                v.astype(dtype), np.asarray(kmat)[:, :, None, None], dtype,
                 window_strides=(1, 1), padding=[(0, 0), (0, 0)],
                 dimension_numbers=dnp,
-                precision=None if fast else jax.lax.Precision.HIGH,
-                preferred_element_type=jnp.float32)
+                precision=None if fast else jax.lax.Precision.HIGH)
 
         e = g(re[:, 0::2], uer) + g(im[:, 0::2], uei)
         o = g(re[:, 1::2], uor) + g(im[:, 1::2], uoi)
@@ -671,13 +704,12 @@ def _ispec_cac_conv(re, im, kr, ki, B, sources, C, T, length, le, pad,
         out_spec=(0, 3, 1, 2))   # (batch, SC, chunks, feature=hop)
 
     def conv(v, k):
-        return jax.lax.conv_general_dilated(
-            v.astype(dtype), jnp.asarray(k, dtype)[:, :, None, :],
+        return _conv_pe32(
+            v.astype(dtype), np.asarray(k)[:, :, None, :], dtype,
             window_strides=(1, 1),
             padding=[(0, 0), (2 + ratio - 1, 2 + ratio - 1)],
             dimension_numbers=dn,
-            precision=None if fast else jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32)
+            precision=None if fast else jax.lax.Precision.HIGH)
 
     y = conv(re, kr) + conv(im, ki)                  # (B, S*C, chunks, hop)
     if fast:

@@ -1,11 +1,21 @@
 """BagOfModels: the htdemucs_ft ensemble (4 fine-tuned models, one stem each).
 
-Re-design of reference cli-apps/demucs_ft.cpp:221-241: instead of 4
-sequential full inferences, the four parameter pytrees are stacked on a
-leading axis and the segment graph is vmapped over it — one compiled
-program, 4x the arithmetic intensity, and a natural axis to shard one
+Re-design of reference cli-apps/demucs_ft.cpp:221-241: the four
+parameter pytrees are stacked on a leading axis and the segment graph
+runs over it inside ONE compiled program — a natural axis to shard one
 model per device group (see parallel/separator.py:make_bag_fn, which
 uses an explicit shard_map over the models axis).
+
+Execution form (measured on a v5e chip, docs/bag_forms_micro.py,
+batch 8 / bf16 / full segments):
+    unrolled static-index loop  193.3 audio-s/s  <- used here
+    lax.scan over models        192.4
+    4 dispatches of one program 187.7 (the old SequentialBagSeparator
+                                       ideal — beaten: no per-dispatch
+                                       overhead inside one program)
+    jax.vmap over models        161.2 (grouped-conv layout overhead)
+The unrolled form keeps each model's convs un-grouped (XLA folds the
+constant-index gathers away) while sharing one dispatch.
 """
 
 from __future__ import annotations
@@ -22,11 +32,23 @@ def stack_bag_params(param_trees: list) -> dict:
     return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *param_trees)
 
 
+def unrolled_model_map(fn, stacked_params):
+    """Apply fn to each model slice of the stacked tree; outputs get a
+    leading models axis. The measured-fastest one-program bag form:
+    static-index slices compile to plain (non-grouped, non-batched)
+    per-model subgraphs."""
+    M = jax.tree.leaves(stacked_params)[0].shape[0]
+    return jnp.stack([fn(jax.tree.map(lambda x, _i=i: x[_i],
+                                      stacked_params))
+                      for i in range(M)])
+
+
 def bag_per_model(stacked_params: dict, mix: jnp.ndarray,
                   cfg: HTDemucsConfig) -> jnp.ndarray:
     """(M-stacked params, (B, 2, L)) -> (M, B, S, 2, L): every model's
     full separation."""
-    return jax.vmap(lambda p: htdemucs_segment(p, mix, cfg))(stacked_params)
+    return unrolled_model_map(lambda p: htdemucs_segment(p, mix, cfg),
+                              stacked_params)
 
 
 def bag_select(per_model: jnp.ndarray) -> jnp.ndarray:

@@ -68,15 +68,19 @@ def make_bag_fn(model_fn_single, mesh: Mesh, stacked_params, select=None):
 
     model_fn_single(params, mix(B, C, L)) -> (B, S, C, L); stacked_params
     carry a leading models axis M (models/bag.py:stack_bag_params). Each
-    bag group runs its M/bag models locally; GSPMD never partitions the
-    vmapped model axis itself (its grouped-conv partitioning of vmapped
-    conv weights miscompiles on some backends — found on the CPU SPMD
-    emulator, so the explicit shard_map is also the safer design).
+    bag group runs its M/bag models locally as an UNROLLED static-index
+    loop — the measured-fastest one-program form (193.3 vs 161.2
+    audio-s/s for vmap on a v5e, docs/bag_forms_micro.py: vmap's
+    grouped convs pay relayout copies; the unrolled slices compile to
+    plain per-model subgraphs). GSPMD never partitions the model axis
+    itself (its grouped-conv partitioning of vmapped conv weights
+    miscompiles on some backends — found on the CPU SPMD emulator, so
+    the explicit shard_map is also the safer design).
     Returns (jitted_fn, placed_params, input_sharding); the jitted fn
     maps (params, mix) -> (B, S, C, L) after per-stem selection
     (default: models/bag.py:bag_select, the ft convention).
     """
-    from ..models.bag import bag_select
+    from ..models.bag import bag_select, unrolled_model_map
 
     bag = mesh.shape.get("bag", 1)
     n_models = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -92,7 +96,8 @@ def make_bag_fn(model_fn_single, mesh: Mesh, stacked_params, select=None):
 
     def spmd(params, mix):
         # local shapes: params (M/bag, ...), mix (B/dp, C, L)
-        return jax.vmap(lambda p: model_fn_single(p, mix))(params)
+        return unrolled_model_map(lambda p: model_fn_single(p, mix),
+                                  params)
 
     mapped = shard_map(spmd, mesh=mesh,
                        in_specs=(P("bag"), P("dp")),
@@ -116,6 +121,7 @@ class ShardedSeparator(Separator):
     def __init__(self, model_fn, params, num_sources: int, mesh: Mesh,
                  options: ApplyOptions | None = None,
                  bag_stacked: bool = False):
+        import collections
         import dataclasses
 
         options = options or ApplyOptions()
@@ -125,15 +131,20 @@ class ShardedSeparator(Separator):
         options = dataclasses.replace(
             options,
             batch_size=max(dp, math.ceil(options.batch_size / dp) * dp))
-        if options.fused_track:
+        if options.fused_track and bag_stacked:
             raise NotImplementedError(
-                "fused_track is a single-device serving path (one "
-                "host-link transfer per track); the mesh-sharded "
-                "separator keeps the batched dp path — drop fused_track "
-                "or use pipeline.Separator")
+                "fused_track + the bag mesh axis is not wired up; use "
+                "the batched dp path for sharded ensembles, or "
+                "pipeline.Separator for single-device fused serving")
         self.mesh = mesh
         self.options = options
         self.num_sources = num_sources
+        # fused whole-track path state (the fused program dp-shards its
+        # internal segment batch via _fused_model_call; input/output
+        # stay replicated so the host link still sees ONE transfer)
+        self._model_fn = model_fn
+        self._fused_cache = collections.OrderedDict()
+        self.fused_cache_limit: int | None = None
         if options.transfer_int16:
             from ..pipeline import PCM16_TRANSFER_SCALE
 
@@ -168,3 +179,25 @@ class ShardedSeparator(Separator):
                 host.shape, self._in_sharding,
                 lambda idx, _b=host: _b[idx])
         return jax.device_put(host, self._in_sharding)
+
+    # --- fused whole-track path over the mesh -------------------------
+    # One (C, L) upload and one (S, C, L) download still cross the host
+    # link (replicated in/out); inside the program the segment batch is
+    # dp-sharded, so the whole mesh works on one track's segments.
+
+    def _place_track(self, up: np.ndarray):
+        rep = NamedSharding(self.mesh, P())
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                up.shape, rep, lambda idx, _b=up: _b[idx])
+        return jax.device_put(up, rep)
+
+    def _fused_model_call(self, params, batch):
+        dp = self.mesh.shape.get("dp", 1)
+        pad = (-batch.shape[0]) % dp
+        if pad:
+            batch = jnp.pad(batch, ((0, pad),) + ((0, 0),) * (batch.ndim - 1))
+        batch = jax.lax.with_sharding_constraint(
+            batch, NamedSharding(self.mesh, P("dp")))
+        out = self._model_fn(params, batch)
+        return out[:out.shape[0] - pad] if pad else out

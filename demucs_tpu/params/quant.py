@@ -95,17 +95,29 @@ def fp8_compute_supported(device=None) -> bool:
     audio-s/s e2e on v5e, a 7x regression). v6e (Trillium) and later
     advertise fp8; GPUs from Hopper/Ada do.
     """
+    import re
+
     d = device if device is not None else jax.devices()[0]
     kind = getattr(d, "device_kind", "").lower()
     if d.platform == "tpu":
-        return any(f"v{g}" in kind for g in range(6, 10))
+        # word-boundary generation match: "tpu v6e" yes, but a kind
+        # that merely CONTAINS v6..v9 as a substring of a longer token
+        # (e.g. a driver revision) must not pass
+        return re.search(r"\bv[6-9][a-z]?\b", kind) is not None
     if d.platform == "gpu":
         # Hopper/Blackwell/Ada have fp8 tensor cores; Ampere and older
-        # (A100/V100/T4) emulate — warn there too
-        return any(t in kind for t in ("h100", "h200", "h800", "gh200",
-                                       "b100", "b200", "gb200",
-                                       "l4", "l40", "ada", "rtx 40",
-                                       "rtx 50"))
+        # (A100/V100/T4) emulate — warn there too. Consumer Ada is
+        # "rtx 40xx" specifically: plain "rtx 40\d*" would also match
+        # Turing workstation cards like "quadro rtx 4000" (no fp8), so
+        # require exactly four digits and no "quadro" prefix.
+        if "quadro" in kind:
+            return False
+        if re.search(r"\brtx [45]0\d\d\b", kind):
+            return True
+        return any(re.search(rf"\b{t}\b", kind)
+                   for t in ("h100", "h200", "h800", "gh200",
+                             "b100", "b200", "gb200", "l4", "l40",
+                             "l40s", "ada"))
     return False
 
 

@@ -68,6 +68,17 @@ class ApplyOptions:
     # compile per (n_segments, padded_length) bucket — best for
     # serving at fixed/bucketed track lengths.
     fused_track: bool = False
+    # Compile-bucket granularity for fused_track. The fused program is
+    # EXACT for any true length inside its bucket (the tail segments
+    # take the true length as a traced scalar and reproduce the offline
+    # symmetric padding), so coarser buckets trade ≤ ~25% wasted
+    # compute on zero tail segments for exponentially fewer compiles:
+    #   "exact": one bucket per segment count (minimum compute; a new
+    #            compile for every distinct track length class)
+    #   "geo":   segment counts snapped up a ~1.25x geometric grid
+    #            (log-many compiles over all track lengths — the
+    #            server default; see tools/serve.py --precompile)
+    fused_buckets: str = "exact"
 
     def with_segment(self, segment_samples: int | None) -> "ApplyOptions":
         """Copy with a shorter segment; the shift pad must stay well
@@ -155,10 +166,16 @@ class Separator:
     def __init__(self, model_fn: Callable, params, num_sources: int,
                  options: ApplyOptions | None = None,
                  jit: bool = True):
+        import collections
+
         self.options = options or ApplyOptions()
         self.num_sources = num_sources
         self._model_fn = model_fn       # raw (pre-wrap), for the fused path
-        self._fused_cache: dict = {}
+        self._fused_cache: dict = collections.OrderedDict()
+        # LRU cap on compiled fused-track programs (None = unbounded;
+        # servers facing arbitrary upload lengths should set one —
+        # tools/serve.py caps it at 8 geo buckets)
+        self.fused_cache_limit: int | None = None
         o = self.options
         if not jit and (o.transfer_int16 or o.fused_track):
             raise ValueError(
@@ -337,26 +354,41 @@ class Separator:
     # the host link per track — the transfer-bound serving optimum
     # (the tunneled-TPU link moves only ~34 MB/s).
 
-    def _fused_track_fn(self, n_seg: int, length: int):
-        key = (n_seg, length)
+    def _fused_track_fn(self, n_seg: int, length: int,
+                        min_n: int | None = None):
+        """One compiled whole-track program per (n_seg, padded-length)
+        bucket. EXACT for any true track length n_true in
+        (min_n - 1, length]: the tail segments take n_true as a traced
+        scalar and reproduce split_into_segments' symmetric padding by
+        rotating the zero-padded raw slice into place (all samples past
+        the true length are zeros, so the rotation IS the symmetric
+        pad), then rotate the stems back and mask the overlap-add
+        weights to the true chunk length. Segments that are full for
+        every length in the bucket compile on the static fast path."""
+        if min_n is None:  # exact-snap bucket: n_true in (length-stride, length]
+            min_n = length - int((1 - self.options.overlap)
+                                 * self.options.segment_samples) + 1
+        key = (n_seg, length, min_n)
         fn = self._fused_cache.get(key)
         if fn is not None:
+            self._fused_cache.move_to_end(key)
             return fn
         o = self.options
         seg = o.segment_samples
         stride = int((1 - o.overlap) * seg)
-        metas = []
-        for off in range(0, length, stride):
-            clen = min(seg, length - off)
-            metas.append((off, clen, (seg - clen) // 2))
-        assert len(metas) == n_seg, (len(metas), n_seg)
+        offs = list(range(0, length, stride))
+        assert len(offs) == n_seg, (len(offs), n_seg)
         w_full = triangle_weight(seg, o.transition_power)
-        sum_w = np.zeros(length, np.float64)
-        for off, clen, _ in metas:
-            sum_w[off:off + clen] += w_full[:clen]
-        inv_sum_w = (1.0 / sum_w).astype(np.float32)
+        # static segments: fully inside every possible true length of
+        # this bucket — no roll, full weight (compile-time constants)
+        is_dyn = [off + seg > min_n for off in offs]
+        ext = offs[-1] + seg  # accumulator length (last segment overhangs)
+        sum_w_static = np.zeros(ext, np.float64)
+        for off, dyn in zip(offs, is_dyn):
+            if not dyn:
+                sum_w_static[off:off + seg] += w_full
         int16 = o.transfer_int16
-        model = self._model_fn
+        model = self._fused_model_call  # hook: mesh subclasses shard it
 
         # cap the device batch at options.batch_size: long tracks would
         # otherwise run one giant batch (batch ~16 already falls off a
@@ -365,15 +397,23 @@ class Separator:
         bs = max(1, o.batch_size)
         n_groups = -(-n_seg // bs)
 
-        def fused(params, shifted):
+        def fused(params, shifted, n_true):
             x = shifted
             if x.dtype == jnp.int16:
                 x = x.astype(jnp.float32) / PCM16_TRANSFER_SCALE
+            clens = {off: jnp.clip(n_true - off, 0, seg) for off in offs}
             chunks = []
-            for off, clen, left in metas:
-                c = jax.lax.slice_in_dim(x, off, off + clen, axis=1)
-                if clen < seg:  # symmetric tail padding (split_into_segments)
-                    c = jnp.pad(c, ((0, 0), (left, seg - clen - left)))
+            for off, dyn in zip(offs, is_dyn):
+                hi = min(off + seg, length)
+                c = jax.lax.slice_in_dim(x, off, hi, axis=1)
+                if hi - off < seg:  # raw slice overhangs the upload pad
+                    c = jnp.pad(c, ((0, 0), (0, seg - (hi - off))))
+                if dyn:
+                    # left-rotate zeros in front of the chunk: equals
+                    # the offline symmetric zero pad because x is zero
+                    # past n_true
+                    left = (seg - clens[off]) // 2
+                    c = jnp.roll(c, left, axis=-1)
                 chunks.append(c)
             batch = jnp.stack(chunks)                     # (n, C, seg)
             if n_groups == 1:
@@ -387,11 +427,21 @@ class Separator:
                 out = out.reshape(n_groups * bs, *out.shape[2:])[:n_seg]
             out = out.astype(jnp.float32)
             w = jnp.asarray(w_full)
-            y = jnp.zeros(out.shape[1:3] + (length,), jnp.float32)
-            for i, (off, clen, left) in enumerate(metas):
-                contrib = w[:clen] * out[i, :, :, left:left + clen]
-                y = y.at[:, :, off:off + clen].add(contrib)
-            y = y * jnp.asarray(inv_sum_w)
+            pos = jnp.arange(seg)
+            y = jnp.zeros(out.shape[1:3] + (ext,), jnp.float32)
+            wsum = jnp.asarray(sum_w_static.astype(np.float32))
+            for i, (off, dyn) in enumerate(zip(offs, is_dyn)):
+                oi = out[i]
+                if dyn:
+                    clen = clens[off]
+                    left = (seg - clen) // 2
+                    oi = jnp.roll(oi, -left, axis=-1)
+                    wm = w * (pos < clen)
+                    wsum = wsum.at[off:off + seg].add(wm)
+                else:
+                    wm = w
+                y = y.at[:, :, off:off + seg].add(wm * oi)
+            y = y[:, :, :length] / jnp.maximum(wsum[:length], 1e-12)
             if int16:
                 q = jnp.round(y * PCM16_TRANSFER_SCALE)
                 return jnp.clip(q, -32768.0, 32767.0).astype(jnp.int16)
@@ -399,39 +449,79 @@ class Separator:
 
         fn = jax.jit(fused)
         self._fused_cache[key] = fn
+        if (self.fused_cache_limit is not None
+                and len(self._fused_cache) > self.fused_cache_limit):
+            self._fused_cache.popitem(last=False)
         return fn
+
+    def _fused_model_call(self, params, batch):
+        """Model invocation inside the fused whole-track program.
+        ShardedSeparator overrides this to dp-shard the segment batch
+        over its mesh (with_sharding_constraint) so one track's fused
+        program still uses every chip."""
+        return self._model_fn(params, batch)
+
+    def _place_track(self, up: np.ndarray):
+        """Upload the whole-track buffer for the fused program
+        (mesh subclasses replicate it over their devices)."""
+        return jnp.asarray(up)
+
+    def _bucket_nseg(self, n_seg_true: int) -> tuple[int, int]:
+        """Snap a true segment count up to its compile bucket.
+        Returns (bucket_n_seg, previous_bucket_n_seg)."""
+        if self.options.fused_buckets == "exact":
+            return n_seg_true, n_seg_true - 1
+        if self.options.fused_buckets != "geo":
+            raise ValueError(
+                f"unknown fused_buckets {self.options.fused_buckets!r}"
+                " (choices: 'exact', 'geo')")
+        b, prev = 1, 0
+        while b < n_seg_true:
+            prev, b = b, max(b + 1, math.ceil(b * 1.25))
+        return b, prev
 
     def _fused_prepare(self, audio: np.ndarray,
                        progress: ProgressCallback = null_progress):
         """Prep one track for the fused program: normalize/shift/pad,
-        optional int16 encode, upload. Returns (fn, placed, state)."""
+        optional int16 encode, upload. Returns (fn, placed, n_true,
+        state); the program is fn(params, placed, n_true)."""
         o = self.options
         shifted, (max_shift, offset, N, ref_mean, ref_std) = \
             self._normalize_shift(audio, progress)
         seg = o.segment_samples
         stride = int((1 - o.overlap) * seg)
-        # snap the length to a stride multiple so compiled programs
-        # bucket by segment count, not by exact track length
-        Lp = math.ceil(shifted.shape[-1] / stride) * stride
-        if Lp != shifted.shape[-1]:
-            shifted = np.pad(shifted, ((0, 0), (0, Lp - shifted.shape[-1])))
-        n_seg = len(range(0, Lp, stride))
-        fn = self._fused_track_fn(n_seg, Lp)
+        n_true = shifted.shape[-1]
+        # snap the segment count up to its compile bucket; the program
+        # is exact for any n_true inside the bucket (traced tail)
+        n_seg, prev_b = self._bucket_nseg(math.ceil(n_true / stride))
+        Lp = n_seg * stride
+        if Lp != n_true:
+            shifted = np.pad(shifted, ((0, 0), (0, Lp - n_true)))
+        fn = self._fused_track_fn(n_seg, Lp, min_n=prev_b * stride + 1)
 
         up = shifted
         if o.transfer_int16:
             up = np.clip(np.round(shifted * PCM16_TRANSFER_SCALE),
                          -32768, 32767).astype(np.int16)
-        placed = jnp.asarray(up)
-        return fn, placed, (n_seg, max_shift, offset, N, ref_mean, ref_std)
+        placed = self._place_track(up)
+        return (fn, placed, jnp.int32(n_true),
+                (n_seg, max_shift, offset, N, ref_mean, ref_std))
+
+    def warmup(self, lengths_samples) -> None:
+        """Pre-compile (and pre-execute once) the fused buckets for the
+        given track lengths, so a cold server's first request never
+        pays the multi-minute tunnel compile. No-op overlap with
+        already-compiled buckets (same bucket -> same cached program)."""
+        for L in lengths_samples:
+            self.separate_fused(np.zeros((2, int(L)), np.float32))
 
     def _fused_dispatch(self, audio: np.ndarray,
                         progress: ProgressCallback = null_progress):
         """Prep + async-dispatch one track's fused program; returns
         (device_out, redispatch, finish_state)."""
-        fn, placed, state = self._fused_prepare(audio, progress)
-        return (fn(self.params, placed),
-                lambda: fn(self.params, placed),
+        fn, placed, n_true, state = self._fused_prepare(audio, progress)
+        return (fn(self.params, placed, n_true),
+                lambda: fn(self.params, placed, n_true),
                 state)
 
     def _fused_collect(self, dev, redispatch, state,
@@ -518,11 +608,13 @@ class SequentialBagSeparator(Separator):
     program, params swapped per call (the reference's shape,
     cli-apps/demucs_ft.cpp:221-241 — but batched).
 
-    Measured on a v5e chip: 147.2 audio-s/s vs 129.5 for the vmapped
-    one-program bag (models/bag.py) — sequential hits the ideal
-    single-model-rate/4 exactly, while vmap pays ~12% in grouped-conv
-    layout overhead. vmap remains the right form for the multi-device
-    `bag` mesh axis (parallel/separator.py:make_bag_fn).
+    r4 status: superseded as the single-device default by the UNROLLED
+    one-program bag (models/bag.py:unrolled_model_map — 193.3 vs 187.7
+    audio-s/s here, docs/bag_forms_micro.py; vmap trails at 161.2 on
+    grouped-conv layout overhead). Kept for (a) the 4x-smaller compiled
+    program when compile latency matters more than 3% throughput, and
+    (b) its fused form's per-model dispatch overlap on very slow host
+    links.
     """
 
     def __init__(self, model_fn: Callable, param_trees: list,
@@ -541,14 +633,15 @@ class SequentialBagSeparator(Separator):
         later models' compute overlaps the earlier fetches), and only
         stem i of model i crosses the host link (device-side slice —
         1/S of the stem download vs running each model standalone)."""
-        fn, placed, state = self._fused_prepare(audio, progress)
+        fn, placed, n_true, state = self._fused_prepare(audio, progress)
         n_seg, max_shift, offset, N, ref_mean, ref_std = state
-        devs = [fn(tree, placed)[i]
+        devs = [fn(tree, placed, n_true)[i]
                 for i, tree in enumerate(self._trees)]
         outs = []
         for i, (tree, dev) in enumerate(zip(self._trees, devs)):
             y = Separator._fetch_device(
-                self, dev, lambda _t=tree, _i=i: fn(_t, placed)[_i])
+                self, dev,
+                lambda _t=tree, _i=i: fn(_t, placed, n_true)[_i])
             outs.append(y)
             progress((i + 1) / len(self._trees),
                      f"model {i + 1}/{len(self._trees)}")

@@ -47,12 +47,27 @@ class StreamingSeparator:
                  overlap: float = C.OVERLAP,
                  transition_power: float = C.TRANSITION_POWER,
                  stats: tuple[float, float] | None = None,
-                 stats_seconds: float = 10.0):
+                 stats_seconds: float = 10.0,
+                 dtype=None, max_batch: int = 8):
+        """dtype: weight/compute dtype; default bf16 on TPU (the
+        serving posture DemixSession uses — CLAUDE.md perf history:
+        measured equal-throughput, half the HBM), f32 elsewhere.
+        max_batch: ready segments per device call — a push spanning
+        several strides (and every flush) batches its segments into
+        one call instead of one call each (≈ the offline batched rate
+        instead of the batch-1 rate)."""
+        if dtype is None:
+            dtype = (jnp.bfloat16
+                     if jax.devices()[0].platform == "tpu" else jnp.float32)
         self._fn = jax.jit(model_fn)
-        self.params = jax.tree.map(jnp.asarray, params)
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+            else jnp.asarray(x), params)
         self.num_sources = num_sources
         self.segment = int(segment_samples)
         self.stride = int((1 - overlap) * self.segment)
+        self.max_batch = int(max_batch)
         self._weight = triangle_weight(self.segment, transition_power)
         self._stats = stats
         self._stats_n_target = int(stats_seconds * C.SAMPLE_RATE)
@@ -93,9 +108,12 @@ class StreamingSeparator:
     def _total_buffered(self) -> int:
         return 0 if self._in is None else self._consumed + self._in.shape[-1]
 
-    def _run_segment(self, seg_audio: np.ndarray,
-                     left: int = 0) -> np.ndarray:
-        """(C, clen) raw audio -> (S, C, segment) denormalized stems.
+    def _run_segments(self, segs: list[tuple[np.ndarray, int]]) -> np.ndarray:
+        """[((C, clen) raw audio, left_pad), ...] -> (n, S, C, segment)
+        denormalized stems — ONE device call per max_batch group (a
+        push spanning several strides and every flush have multiple
+        ready segments; running them batched recovers the offline
+        batched rate instead of the batch-1 rate).
 
         Short tails are zero-padded AFTER normalization (the offline
         pipeline normalizes the track first and pads the segment batch
@@ -103,13 +121,26 @@ class StreamingSeparator:
         through the weighted overlap-add because it is affine and the
         weights are normalized by their own sum."""
         mean, std = self._mean_std()
-        x = (seg_audio - mean) / std
-        clen = x.shape[-1]
-        if clen < self.segment:
-            x = np.pad(x, ((0, 0), (left, self.segment - clen - left)))
-        out = np.asarray(self._fn(self.params,
-                                  jnp.asarray(x[None], jnp.float32)))[0]
-        return out.astype(np.float32) * std + mean
+        n = len(segs)
+        Cch = segs[0][0].shape[0]
+        batch = np.zeros((n, Cch, self.segment), np.float32)
+        for i, (raw, left) in enumerate(segs):
+            x = (raw - mean) / std
+            batch[i, :, left:left + x.shape[-1]] = x
+        outs = []
+        for i in range(0, n, self.max_batch):
+            chunk = batch[i:i + self.max_batch]
+            b = chunk.shape[0]
+            # pad to a power-of-two bucket: at most log2(max_batch)+1
+            # compiled programs ever exist
+            bb = 1 << (b - 1).bit_length()
+            if bb != b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bb - b, Cch, self.segment),
+                                     np.float32)])
+            out = np.asarray(self._fn(self.params, jnp.asarray(chunk)))[:b]
+            outs.append(out.astype(np.float32))
+        return np.concatenate(outs) * std + mean
 
     def _ensure_acc(self, upto: int) -> None:
         S, Cch = self.num_sources, self._in.shape[0]
@@ -157,12 +188,18 @@ class StreamingSeparator:
         else:
             self._in = np.concatenate([self._in, chunk], -1)
         total = self._total_buffered()
+        # collect every ready segment first, run them as ONE batched
+        # device call (per max_batch group), then overlap-add
+        ready: list[tuple[int, np.ndarray]] = []
         while self._next_off + self.segment <= total:
             local = self._next_off - self._consumed
-            seg_audio = self._in[:, local:local + self.segment]
-            stems = self._run_segment(seg_audio)
-            self._add_segment(self._next_off, stems, self.segment, 0)
+            ready.append((self._next_off,
+                          self._in[:, local:local + self.segment]))
             self._next_off += self.stride
+        if ready:
+            stems = self._run_segments([(seg, 0) for _, seg in ready])
+            for (off, _), out in zip(ready, stems):
+                self._add_segment(off, out, self.segment, 0)
             # audio before the next segment's start is never read again
             drop = self._next_off - self._consumed
             if drop > 0:
@@ -177,14 +214,19 @@ class StreamingSeparator:
         total = self._total_buffered()
         if self._in is None or total == 0:
             return np.zeros((self.num_sources, 0, 0), np.float32)
+        tails: list[tuple[int, np.ndarray, int, int]] = []
         while self._next_off < total:
             local = self._next_off - self._consumed
             tail = self._in[:, local:local + self.segment]
             clen = tail.shape[-1]
-            left = (self.segment - clen) // 2
-            stems = self._run_segment(tail, left)
-            self._add_segment(self._next_off, stems, clen, left)
+            tails.append((self._next_off, tail, clen,
+                          (self.segment - clen) // 2))
             self._next_off += self.stride
+        if tails:
+            stems = self._run_segments(
+                [(tail, left) for _, tail, _, left in tails])
+            for (off, _, clen, left), out in zip(tails, stems):
+                self._add_segment(off, out, clen, left)
         out = self._emit(total)
         self.reset()
         return out

@@ -95,6 +95,32 @@ def main(argv=None) -> int:
         "audio_s_per_s": round(args.track_secs / dt, 1),
     }))
 
+    # streaming path: 1 s pushes through StreamingSeparator (ready
+    # segments batched per push/flush, bf16 on TPU) — the low-latency
+    # surface's sustained rate, to compare against separate_many
+    from ..streaming import StreamingSeparator
+
+    stream = StreamingSeparator(lambda p, m: htdemucs_segment(p, m, cfg),
+                                tree, cfg.num_sources,
+                                max_batch=args.batch)
+    chunk = 44100
+    # warm-up: compile the pow2 batch buckets the loop will hit
+    for pos in range(0, n_samples, chunk):
+        stream.push(tracks[0][:, pos:pos + chunk])
+    stream.flush()
+    t0 = time.perf_counter()
+    for tr in tracks:
+        for pos in range(0, n_samples, chunk):
+            stream.push(tr[:, pos:pos + chunk])
+        stream.flush()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "streaming_1s_pushes", "tracks": args.tracks,
+        "track_secs": args.track_secs, "wall_s": round(dt, 3),
+        "audio_s_per_s": round(total_audio_s / dt, 1),
+        "max_batch": args.batch,
+    }))
+
     if args.http:
         import io
         import threading

@@ -10,6 +10,10 @@ TPU that is minutes per config. Use --batches sparingly.
 Usage:
     python -m demucs_tpu.tools.bench_sweep [--batches 4 8 16] \
         [--dtypes bf16 f32] [--iters 10] [--v3]
+    python -m demucs_tpu.tools.bench_sweep --family > BENCH_FAMILY.json
+        # one JSON object covering every model family (4s/6s/v3
+        # inference, the sequential ft bag, and a training step) so
+        # non-headline regressions are diffable round over round
 """
 
 from __future__ import annotations
@@ -20,6 +24,104 @@ import sys
 import time
 
 import numpy as np
+
+
+def family_bench(batch: int = 8, iters: int = 8,
+                 train_batch: int = 2, seg: int | None = None) -> dict:
+    """Measure every model family at its adopted serving config (bf16,
+    batch 8) plus a training step — one dict, machine-readable.
+
+    Timing protocol (CLAUDE.md): dispatch `iters` steps back-to-back,
+    ONE host fetch at the end (block_until_ready returns early on the
+    tunneled TPU; only a host roundtrip fences)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import params as P
+    from ..config import HDEMUCS_V3, HTDEMUCS_4S, HTDEMUCS_6S
+    from ..config import SEGMENT_SAMPLES
+    from ..models import hdemucs_v3_segment, htdemucs_segment
+
+    seg = seg or SEGMENT_SAMPLES
+    rng = np.random.default_rng(0)
+    mix_host = (rng.standard_normal((batch, 2, seg)) * 0.1)
+    report = {"batch": batch, "iters": iters, "segment_samples": seg,
+              "device": str(jax.devices()[0].device_kind
+                            or jax.devices()[0].platform)}
+
+    def measure(fn, params, mix, n_calls=None, audio_s=None):
+        out = fn(params, mix)
+        float(jnp.sum(out.astype(jnp.float32)))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(n_calls or iters):
+            out = fn(params, mix)
+        float(jnp.sum(out.astype(jnp.float32)))  # ONE fence
+        dt = (time.perf_counter() - t0) / (n_calls or iters)
+        rate = (audio_s if audio_s is not None
+                else batch * seg / 44100.0) / dt
+        return {"step_s": round(dt, 4), "audio_s_per_s": round(rate, 1)}
+
+    fams = (("htdemucs_4s", HTDEMUCS_4S, P.htdemucs_schema, htdemucs_segment),
+            ("htdemucs_6s", HTDEMUCS_6S, P.htdemucs_schema, htdemucs_segment),
+            ("hdemucs_v3", HDEMUCS_V3, P.hdemucs_v3_schema,
+             hdemucs_v3_segment))
+    params4 = None
+    for name, cfg, schema_fn, seg_fn in fams:
+        tree = P.unflatten_tree(P.init_flat(schema_fn(cfg), seed=0))
+        tree = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), tree)
+        if name == "htdemucs_4s":
+            params4 = tree
+        mix = jnp.asarray(mix_host, jnp.bfloat16)
+        fn = jax.jit(lambda p, m, _c=cfg, _f=seg_fn: _f(p, m, _c))
+        report[name] = measure(fn, tree, mix)
+        print(f"{name}: {report[name]}", file=sys.stderr)
+
+    # sequential-4 ft bag: the single-device deployed form — 4 calls of
+    # ONE compiled program, params swapped per call (ideal = rate/4)
+    fn4 = jax.jit(lambda p, m: htdemucs_segment(p, m, HTDEMUCS_4S))
+    mix = jnp.asarray(mix_host, jnp.bfloat16)
+    out = fn4(params4, mix)
+    float(jnp.sum(out.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for _m in range(4):
+            out = fn4(params4, mix)
+    float(jnp.sum(out.astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / iters
+    report["ft_bag_sequential4"] = {
+        "step_s": round(dt, 4),
+        "audio_s_per_s": round(batch * seg / 44100.0 / dt, 1)}
+    print(f"ft_bag_sequential4: {report['ft_bag_sequential4']}",
+          file=sys.stderr)
+
+    # training step: full htdemucs_4s, adopted config (remat on, f32
+    # master weights) at the measured-best batch
+    import optax
+
+    from ..train import make_train_step
+
+    tree = P.unflatten_tree(P.init_flat(P.htdemucs_schema(HTDEMUCS_4S),
+                                        seed=0))
+    tree = jax.tree.map(jnp.asarray, tree)
+    init_fn, step_fn = make_train_step(HTDEMUCS_4S, optax.adam(3e-4),
+                                       remat=True)
+    opt_state = init_fn(tree)
+    mixt = jnp.asarray(mix_host[:train_batch], jnp.float32)
+    refs = jnp.asarray((rng.standard_normal((train_batch, 4, 2, seg))
+                        * 0.05), jnp.float32)
+    p, s, loss = step_fn(tree, opt_state, mixt, refs)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, s, loss = step_fn(p, s, mixt, refs)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    report["train_step"] = {
+        "batch": train_batch, "remat": True,
+        "step_s": round(dt, 4),
+        "audio_s_per_s": round(train_batch * seg / 44100.0 / dt, 1)}
+    print(f"train_step: {report['train_step']}", file=sys.stderr)
+    return report
 
 
 def main(argv=None) -> int:
@@ -33,6 +135,11 @@ def main(argv=None) -> int:
                          "compute stays at --dtypes)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--v3", action="store_true")
+    ap.add_argument("--family", action="store_true",
+                    help="benchmark EVERY model family + a train step; "
+                         "print one JSON object")
+    ap.add_argument("--segment-samples", type=int, default=None,
+                    help=argparse.SUPPRESS)  # testing
     args = ap.parse_args(argv)
 
     import jax
@@ -40,6 +147,12 @@ def main(argv=None) -> int:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    if args.family:
+        report = family_bench(batch=args.batches[0], iters=args.iters,
+                              seg=args.segment_samples)
+        print(json.dumps(report))
+        return 0
 
     from .. import params as P
     from ..config import HDEMUCS_V3, HTDEMUCS_4S, SEGMENT_SAMPLES

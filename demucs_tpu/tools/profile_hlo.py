@@ -86,6 +86,13 @@ def main():
     ap.add_argument("--fp8", action="store_true")
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--train", action="store_true",
+                    help="profile one TRAINING step (fwd+bwd+Adam) "
+                         "instead of inference")
+    ap.add_argument("--train-remat", default="dots",
+                    choices=["off", "dots", "none", "dots_nb"])
+    ap.add_argument("--train-bf16", action="store_true",
+                    help="bf16 compute, f32 master weights")
     ap.add_argument("--out", default="/tmp/hlo_profile.json")
     ap.add_argument("--trace-dir", default="/tmp/demucs_tpu_trace")
     args = ap.parse_args()
@@ -126,35 +133,78 @@ def main():
     batch = args.batch if on_tpu else 1
     seg = SEGMENT_SAMPLES if on_tpu else 65536
     rng = np.random.default_rng(0)
-    mix = jnp.asarray(rng.standard_normal((batch, 2, seg)) * 0.1, dtype)
 
-    fn = jax.jit(lambda p, m: seg_call(p, m, cfg).astype(jnp.float32).sum())
-    t0 = time.perf_counter()
-    float(fn(params, mix))
-    print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s", flush=True)
+    if args.train:
+        # training step: master weights f32, optional bf16 compute —
+        # the exact step train_cli runs (minus augmentations)
+        import optax
 
-    # timed reference (same protocol as bench.py)
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(args.steps):
-        out = fn(params, mix)
-    float(out)
-    wall_ms = (time.perf_counter() - t0) / args.steps * 1e3
-    print(f"# wall: {wall_ms:.1f} ms/step", flush=True)
+        from demucs_tpu.train import make_train_step
 
-    os.makedirs(args.trace_dir, exist_ok=True)
-    jax.profiler.start_trace(args.trace_dir)
-    out = None
-    for _ in range(args.steps):
-        out = fn(params, mix)
-    float(out)
-    jax.profiler.stop_trace()
+        init_fn, step_fn = make_train_step(
+            cfg, optax.adam(3e-4),
+            remat=args.train_remat != "off",
+            remat_policy=(args.train_remat if args.train_remat != "off"
+                          else "dots"),
+            compute_dtype=jnp.bfloat16 if args.train_bf16 else None)
+        params = P.unflatten_tree(P.init_flat(schema))
+        params = jax.tree.map(jnp.asarray, params)
+        opt_state = init_fn(params)
+        mix = jnp.asarray(rng.standard_normal((batch, 2, seg)) * 0.1,
+                          jnp.float32)
+        refs = jnp.asarray(rng.standard_normal(
+            (batch, cfg.num_sources, 2, seg)) * 0.05, jnp.float32)
+
+        t0 = time.perf_counter()
+        params, opt_state, loss = step_fn(params, opt_state, mix, refs)
+        float(loss)
+        print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            params, opt_state, loss = step_fn(params, opt_state, mix, refs)
+        float(loss)
+        wall_ms = (time.perf_counter() - t0) / args.steps * 1e3
+        print(f"# wall: {wall_ms:.1f} ms/step", flush=True)
+
+        os.makedirs(args.trace_dir, exist_ok=True)
+        jax.profiler.start_trace(args.trace_dir)
+        for _ in range(args.steps):
+            params, opt_state, loss = step_fn(params, opt_state, mix, refs)
+        float(loss)
+        jax.profiler.stop_trace()
+    else:
+        mix = jnp.asarray(rng.standard_normal((batch, 2, seg)) * 0.1, dtype)
+
+        fn = jax.jit(lambda p, m: seg_call(p, m, cfg).astype(jnp.float32).sum())
+        t0 = time.perf_counter()
+        float(fn(params, mix))
+        print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s", flush=True)
+
+        # timed reference (same protocol as bench.py)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.steps):
+            out = fn(params, mix)
+        float(out)
+        wall_ms = (time.perf_counter() - t0) / args.steps * 1e3
+        print(f"# wall: {wall_ms:.1f} ms/step", flush=True)
+
+        os.makedirs(args.trace_dir, exist_ok=True)
+        jax.profiler.start_trace(args.trace_dir)
+        out = None
+        for _ in range(args.steps):
+            out = fn(params, mix)
+        float(out)
+        jax.profiler.stop_trace()
 
     agg = _aggregate_xspace(args.trace_dir)
     rep = group_report(agg["per_op_ps"], args.steps)
     rep["wall_ms_per_step"] = round(wall_ms, 2)
     rep["config"] = {"v3": args.v3, "int8": args.int8, "fp8": args.fp8,
-                     "batch": batch, "segment": seg}
+                     "batch": batch, "segment": seg, "train": args.train,
+                     "train_remat": args.train_remat if args.train else None,
+                     "train_bf16": args.train_bf16 if args.train else None}
     with open(args.out, "w") as f:
         json.dump(rep, f, indent=1)
     print(json.dumps({k: rep[k] for k in

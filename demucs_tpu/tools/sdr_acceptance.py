@@ -11,6 +11,10 @@ agreement: >= ~40 dB means numerically interchangeable).
 Usage:
     python -m demucs_tpu.tools.sdr_acceptance MODEL.bin TRACK.wav \
         [--ref-dir musdb_track_dir] [--tolerance-db 0.1] [--workdir DIR]
+    python -m demucs_tpu.tools.sdr_acceptance --ft-dir MODELS/ TRACK.wav
+        # BagOfModels gate (the reference's best SDR row,
+        # .github/SDR_scores.md:48-61): the JAX ensemble vs the torch
+        # oracle ensemble, gated per stem
 """
 
 from __future__ import annotations
@@ -26,14 +30,21 @@ import numpy as np
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="SDR acceptance gate")
-    ap.add_argument("model")
+    ap.add_argument("model", nargs="?",
+                    help="ggml weight file (or use --ft-dir)")
     ap.add_argument("input")
+    ap.add_argument("--ft-dir", default=None,
+                    help="directory with the 4 htdemucs_ft_* files: "
+                         "gate the BagOfModels ensemble (JAX bag vs "
+                         "torch oracle bag, per stem)")
     ap.add_argument("--ref-dir", default=None,
                     help="ground-truth stem dir (MUSDB layout)")
     ap.add_argument("--tolerance-db", type=float, default=0.1)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--segment-samples", type=int, default=None)
     args = ap.parse_args(argv)
+    if bool(args.model) == bool(args.ft_dir):
+        ap.error("provide exactly one of `model` or --ft-dir")
 
     from .. import audio
     from ..cli import main as cli_main
@@ -43,30 +54,36 @@ def main(argv=None) -> int:
     work = Path(args.workdir or tempfile.mkdtemp(prefix="sdr_accept_"))
     jax_dir, torch_dir = work / "jax", work / "torch"
 
-    common = [args.model, args.input, None, "--offset", "1337"]
+    sel = [args.model] if args.model else ["--ft-dir", args.ft_dir]
+    common = sel + [args.input, None, "--offset", "1337"]
     if args.segment_samples:
         common += ["--segment-samples", str(args.segment_samples)]
+    out_at = len(sel) + 1
 
     a = list(common)
-    a[2] = str(jax_dir)
+    a[out_at] = str(jax_dir)
     if cli_main(a + ["--no-mesh"]) != 0:
         return 1
     t = list(common)
-    t[2] = str(torch_dir)
+    t[out_at] = str(torch_dir)
     if torch_main(t) != 0:
         return 1
 
-    import struct
+    if args.ft_dir:
+        # the ft ensemble is always the 4-source family
+        sources = ("drums", "bass", "other", "vocals")
+    else:
+        import struct
 
-    from ..params.ggml import GGML_MAGICS
+        from ..params.ggml import GGML_MAGICS
 
-    # stem names need only the 4-byte magic, not a full weight parse
-    with open(args.model, "rb") as f:
-        (magic,) = struct.unpack("<i", f.read(4))
-    kind = GGML_MAGICS.get(magic)
-    sources = (("drums", "bass", "other", "vocals", "guitar", "piano")
-               if kind == "htdemucs_6s"
-               else ("drums", "bass", "other", "vocals"))
+        # stem names need only the 4-byte magic, not a full weight parse
+        with open(args.model, "rb") as f:
+            (magic,) = struct.unpack("<i", f.read(4))
+        kind = GGML_MAGICS.get(magic)
+        sources = (("drums", "bass", "other", "vocals", "guitar", "piano")
+                   if kind == "htdemucs_6s"
+                   else ("drums", "bass", "other", "vocals"))
 
     def _num(x):  # NaN (silent / <1 s windows) must not leak into JSON
         return None if (x != x) else round(x, 3)

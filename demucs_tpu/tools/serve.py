@@ -109,11 +109,18 @@ def make_handler(session, options, max_body=MAX_BODY_BYTES):
 
 
 def make_server(model_path, port=0, segment_samples=None, batch=8,
-                transfer_int16=True, fused=True):
+                transfer_int16=True, fused=True,
+                precompile_secs=(), fused_cache_limit=8):
     """transfer_int16 (default ON for serving): stems cross the
     device->host link as int16 and the response WAVs are PCM16 —
     halves both transfers; quantization is ~69 dB under a typical stem
-    (pipeline.PCM16_TRANSFER_SCALE). Pass False for bit-exact f32."""
+    (pipeline.PCM16_TRANSFER_SCALE). Pass False for bit-exact f32.
+
+    The fused path runs with geometric compile buckets (exact output
+    for ANY length, log-many compiled programs over all upload
+    lengths) and an LRU cap on the program cache; `precompile_secs`
+    warms the buckets for the given track lengths at startup so the
+    first request never pays a tunnel compile (minutes)."""
     from ..pipeline import ApplyOptions
     from ..serving import DemixSession
 
@@ -124,9 +131,27 @@ def make_server(model_path, port=0, segment_samples=None, batch=8,
     options = ApplyOptions(batch_size=batch,
                            transfer_int16=transfer_int16,
                            fused_track=fused,
+                           fused_buckets="geo" if fused else "exact",
                            ).with_segment(segment_samples)
-    return ThreadingHTTPServer(("127.0.0.1", port),
-                               make_handler(session, options))
+    sep = session._separator(options)
+    sep.fused_cache_limit = fused_cache_limit
+    if transfer_int16:
+        print("serve: responses are PCM16 WAVs (int16 device "
+              "transfers; pass --f32-transfer for bit-exact f32)",
+              file=sys.stderr)
+    if fused and precompile_secs:
+        from ..config import SAMPLE_RATE
+
+        for s in precompile_secs:
+            print(f"serve: precompiling fused bucket for {s:g} s tracks "
+                  "...", file=sys.stderr)
+            sep.warmup([int(float(s) * SAMPLE_RATE)])
+        print(f"serve: {len(sep._fused_cache)} fused program(s) ready",
+              file=sys.stderr)
+    srv = ThreadingHTTPServer(("127.0.0.1", port),
+                              make_handler(session, options))
+    srv.session, srv.separator = session, sep  # introspection/tests
+    return srv
 
 
 def main(argv=None) -> int:
@@ -141,11 +166,18 @@ def main(argv=None) -> int:
     ap.add_argument("--no-fused", action="store_true",
                     help="use the host-side batched path instead of the "
                          "fused whole-track device program")
+    ap.add_argument("--precompile", default="",
+                    help="comma-separated track lengths in SECONDS to "
+                         "precompile fused buckets for at startup "
+                         "(e.g. 30,120,240) — avoids multi-minute "
+                         "first-request compiles")
     args = ap.parse_args(argv)
 
     srv = make_server(args.model, args.port, args.segment_samples, args.batch,
                       transfer_int16=not args.f32_transfer,
-                      fused=not args.no_fused)
+                      fused=not args.no_fused,
+                      precompile_secs=[float(s) for s in
+                                       args.precompile.split(",") if s])
     print(f"listening on http://127.0.0.1:{srv.server_address[1]}",
           file=sys.stderr)
     try:

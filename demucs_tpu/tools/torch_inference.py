@@ -44,36 +44,60 @@ def build_torch_model(cfg, params):
     return model
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(description="torch oracle inference")
-    ap.add_argument("model")
-    ap.add_argument("input")
-    ap.add_argument("outdir")
-    ap.add_argument("--offset", type=int, default=1337)
-    ap.add_argument("--batch", type=int, default=2)
-    ap.add_argument("--segment-samples", type=int, default=None)
-    args = ap.parse_args(argv)
-
+def _torch_separator(model_path, opts) -> tuple[Separator, tuple[str, ...]]:
     import torch
 
-    cfg, params = load_model_params(args.model)
+    cfg, params = load_model_params(model_path)
     model = build_torch_model(cfg, params)
 
     def torch_fn(_, mix_batch):
         with torch.no_grad():
             return model(torch.from_numpy(np.asarray(mix_batch))).numpy()
 
+    return Separator(torch_fn, None, cfg.num_sources, opts,
+                     jit=False), cfg.sources
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="torch oracle inference")
+    ap.add_argument("model", nargs="?",
+                    help="ggml weight file (or use --ft-dir)")
+    ap.add_argument("input")
+    ap.add_argument("outdir")
+    ap.add_argument("--ft-dir", help="directory with 4 htdemucs_ft_* "
+                                     "files (BagOfModels oracle: stem i "
+                                     "from model i, the ft convention — "
+                                     "reference cli-apps/demucs_ft.cpp)")
+    ap.add_argument("--offset", type=int, default=1337)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--segment-samples", type=int, default=None)
+    args = ap.parse_args(argv)
+    if bool(args.model) == bool(args.ft_dir):
+        ap.error("provide exactly one of `model` or --ft-dir")
+
     opts = ApplyOptions(batch_size=args.batch,
                         shift_offset=args.offset).with_segment(
                             args.segment_samples)
-    sep = Separator(torch_fn, None, cfg.num_sources, opts, jit=False)
-
     track = audio.load_track(args.input)
-    out = sep(track, progress=print_progress)
+
+    if args.ft_dir:
+        from ..cli import _find_ft_models
+
+        paths = _find_ft_models(Path(args.ft_dir))
+        stems, sources = [], None
+        for i, p in enumerate(paths):
+            sep, sources = _torch_separator(p, opts)
+            out = sep(track, progress=print_progress)
+            stems.append(np.asarray(out[i]))  # ft: stem i from model i
+            print(f"oracle model {i + 1}/4 done", file=sys.stderr)
+        out = np.stack(stems)
+    else:
+        sep, sources = _torch_separator(args.model, opts)
+        out = sep(track, progress=print_progress)
 
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
-    for i, name in enumerate(cfg.sources):
+    for i, name in enumerate(sources):
         audio.write_wav(outdir / f"target_{i}_{name}.wav", np.asarray(out[i]))
         print(f"wrote target_{i}_{name}.wav", file=sys.stderr)
     return 0

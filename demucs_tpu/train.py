@@ -36,21 +36,44 @@ def _segment_fn_for(cfg):
     return htdemucs_segment
 
 
+REMAT_POLICIES = {
+    # dots_saveable: keep every matmul output, recompute the cheap
+    # elementwise/norm chains — the r3 default
+    "dots": jax.checkpoint_policies.dots_saveable,
+    # nothing_saveable: recompute the whole segment graph in the
+    # backward (minimum HBM, maximum recompute FLOPs)
+    "none": jax.checkpoint_policies.nothing_saveable,
+    # dots_with_no_batch_dims: save only true contractions (excludes
+    # the batched einsum forms the conv lowerings use)
+    "dots_nb": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+}
+
+
 def l1_loss(params: dict, mix: jnp.ndarray, refs: jnp.ndarray,
             cfg: HTDemucsConfig | HDemucsV3Config,
-            remat: bool = False) -> jnp.ndarray:
+            remat: bool = False, remat_policy: str = "dots",
+            compute_dtype=None) -> jnp.ndarray:
     """Mean per-source L1 between separated and reference stems.
 
     mix: (B, 2, L); refs: (B, S, 2, L). The upstream demucs trainer's
     default time-domain objective (args.optim.loss = l1). Works for
     both the v4 (htdemucs) and v3 (hdemucs_mmi) families — the BiLSTM
     scan and LocalAttention are plain differentiable JAX.
+
+    compute_dtype (e.g. jnp.bfloat16) casts the float params for the
+    forward/backward only — master weights, grads, and the optimizer
+    update stay f32 (the standard mixed-precision recipe; the cast is
+    inside the differentiated function, so grads come back f32).
     """
     fwd = _segment_fn_for(cfg)
     if remat:
-        fwd = jax.checkpoint(fwd,
-                             policy=jax.checkpoint_policies.dots_saveable,
+        fwd = jax.checkpoint(fwd, policy=REMAT_POLICIES[remat_policy],
                              static_argnums=(2,))
+    if compute_dtype is not None:
+        params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        mix = mix.astype(compute_dtype)
     est = fwd(params, mix, cfg)
     return jnp.mean(jnp.abs(est.astype(jnp.float32) -
                             refs.astype(jnp.float32)))
@@ -60,7 +83,9 @@ def make_train_step(cfg: HTDemucsConfig,
                     optimizer: optax.GradientTransformation | None = None,
                     loss_fn: Callable | None = None,
                     remat: bool = False,
-                    ema_decay: float | None = None):
+                    ema_decay: float | None = None,
+                    remat_policy: str = "dots",
+                    compute_dtype=None):
     """Returns (init_fn, step_fn).
 
     Without ema_decay:
@@ -76,7 +101,9 @@ def make_train_step(cfg: HTDemucsConfig,
     device — no second copy of the model in HBM).
     """
     opt = optimizer or optax.adam(3e-4)
-    loss = loss_fn or functools.partial(l1_loss, cfg=cfg, remat=remat)
+    loss = loss_fn or functools.partial(l1_loss, cfg=cfg, remat=remat,
+                                        remat_policy=remat_policy,
+                                        compute_dtype=compute_dtype)
     init_fn = make_init_fn(opt, ema_decay)
     step_impl = make_step_impl(opt, loss, ema_decay)
     return init_fn, jax.jit(step_impl, donate_argnums=(0, 1))
@@ -120,12 +147,20 @@ def make_step_impl(opt: optax.GradientTransformation, loss: Callable,
     return step_impl
 
 
-def save_train_state(path, params, opt_state, step: int) -> None:
+def save_train_state(path, params, opt_state, step: int, ema=None) -> None:
     """Checkpoint the full training state (params + optimizer moments +
-    step) as one Orbax checkpoint — the resume counterpart the
-    inference-only reference never needed. Params stay in the flat
-    PyTorch-named layout (params/orbax_io.py contract) so a training
-    checkpoint's weights also load directly for inference."""
+    step + optional EMA weights) as one Orbax checkpoint — the resume
+    counterpart the inference-only reference never needed. Params (and
+    the EMA tree) stay in the flat PyTorch-named layout
+    (params/orbax_io.py contract) so a training checkpoint's weights
+    also load directly for inference.
+
+    ema: the EMA parameter tree from a make_train_step(ema_decay=...)
+    state. Upstream demucs evaluates and SHIPS the EMA weights (the
+    converted hub checkpoints are EMA artifacts,
+    reference scripts/convert-pth-to-ggml.py:22-28), so a release-able
+    trainer must persist them.
+    """
     import numpy as np
     import orbax.checkpoint as ocp
     from pathlib import Path
@@ -138,34 +173,67 @@ def save_train_state(path, params, opt_state, step: int) -> None:
                    for k, v in flatten_tree(params).items()},
         "opt_state": jax.tree.map(np.asarray, opt_state),
     }
+    if ema is not None:
+        state["ema"] = {k: np.asarray(v)
+                        for k, v in flatten_tree(ema).items()}
     # crash-safe overwrite: write the new state NEXT TO the live
     # checkpoint, then swap with atomic renames — a kill during the
     # save leaves the previous checkpoint intact (force=True's
-    # delete-then-write would destroy the only resumable state)
+    # delete-then-write would destroy the only resumable state).
+    # Multi-process: EVERY process must call this function (Orbax's
+    # save ends in a global barrier); the filesystem dance runs on the
+    # lead only, fenced by global syncs.
     import shutil
+
+    multiproc = jax.process_count() > 1
+    lead = jax.process_index() == 0
+
+    def _sync(tag):
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
 
     path = Path(path).absolute()
     new = path.with_name(path.name + ".new")
     old = path.with_name(path.name + ".old")
-    for stale in (new, old):
-        if stale.exists():
-            shutil.rmtree(stale)
+    if lead:
+        if not path.exists():
+            # crash landed between the two swap renames: the only
+            # complete state lives in .new (written before the swap
+            # began) or .old (the pre-save checkpoint). Promote it back
+            # to `path` FIRST — the stale cleanup below must never
+            # delete the only copy.
+            for cand in (new, old):
+                if cand.exists():
+                    cand.rename(path)
+                    break
+        for stale in (new, old):
+            if stale.exists():
+                shutil.rmtree(stale)
+    _sync("demucs_ckpt_pre")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(new, state)
-    if path.exists():
-        path.rename(old)
-    new.rename(path)
-    if old.exists():
-        shutil.rmtree(old)
+    _sync("demucs_ckpt_written")
+    if lead:
+        if path.exists():
+            path.rename(old)
+        new.rename(path)
+        if old.exists():
+            shutil.rmtree(old)
+    _sync("demucs_ckpt_post")
 
 
 def load_train_state(path, params_like,
                      optimizer: optax.GradientTransformation):
-    """Restore (params, opt_state, step) from save_train_state.
+    """Restore (params, opt_state, step, ema_or_None) from
+    save_train_state.
 
     params_like: any tree with the right shapes/dtypes (e.g. a fresh
     init) — needed to rebuild the optimizer-state pytree structure
-    (optax namedtuples) for Orbax's typed restore.
+    (optax namedtuples) for Orbax's typed restore. The EMA slot is
+    detected from the checkpoint's own metadata, so checkpoints written
+    with and without --ema both load.
     """
     import numpy as np
     import orbax.checkpoint as ocp
@@ -175,31 +243,50 @@ def load_train_state(path, params_like,
 
     path = Path(path).absolute()
     if not path.exists():
-        # crash window between the two swap renames in save_train_state
-        for cand in (path.with_name(path.name + ".old"),
-                     path.with_name(path.name + ".new")):
+        # crash window between the two swap renames in save_train_state:
+        # .new is the complete just-written state (it exists before the
+        # live path is ever moved aside), .old the previous one — prefer
+        # the newer
+        for cand in (path.with_name(path.name + ".new"),
+                     path.with_name(path.name + ".old")):
             if cand.exists():
                 path = cand
                 break
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
-        params_like)
+    def _sds(x):
+        # works for host arrays AND mesh-sharded (non-addressable)
+        # global arrays — never materializes the value
+        dt = getattr(x, "dtype", None)
+        return jax.ShapeDtypeStruct(
+            jnp.shape(x), dt if dt is not None else np.asarray(x).dtype)
+
+    abstract = jax.tree.map(_sds, params_like)
+    flat_like = {k: _sds(v)
+                 for k, v in flatten_tree(params_like).items()}
     target = {
         "step": np.asarray(0, np.int64),
-        "params": {k: jax.ShapeDtypeStruct(np.shape(v),
-                                           np.asarray(v).dtype)
-                   for k, v in flatten_tree(params_like).items()},
+        "params": dict(flat_like),
         "opt_state": jax.eval_shape(optimizer.init, abstract),
     }
     with ocp.StandardCheckpointer() as ckptr:
+        try:
+            has_ema = "ema" in ckptr.metadata(path).item_metadata
+        except Exception:  # orbax versions with a different metadata API
+            has_ema = False
+        if has_ema:
+            target["ema"] = dict(flat_like)
         state = ckptr.restore(path, target)
+    ema = (unflatten_tree(dict(state["ema"])) if "ema" in state else None)
     return (unflatten_tree(dict(state["params"])), state["opt_state"],
-            int(state["step"]))
+            int(state["step"]), ema)
 
 
 def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
                             optimizer: optax.GradientTransformation | None = None,
-                            remat: bool = False):
+                            remat: bool = False,
+                            remat_policy: str = "dots",
+                            compute_dtype=None,
+                            ema_decay: float | None = None,
+                            augment: bool = False):
     """Mesh-sharded training step: batch over ``dp``, params per the
     Megatron tp rules (parallel/sharding.py), optimizer state sharded
     like its parameter. GSPMD inserts the gradient reduction over dp
@@ -210,6 +297,12 @@ def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
       place_fn(params)                      -> (placed_params, opt_state)
       step_fn(params, opt_state, mix, refs) -> (params, opt_state, loss)
       place_batch(mix, refs)                -> device-placed (mix, refs)
+
+    With augment=True the step fuses the on-device augmentations
+    (data.augment_stems) and the signatures become the augmented-step
+    ones: step_fn(params, opt_state, key, stems(B,S,C,T)) and
+    place_batch(stems) -> placed stems. With ema_decay, opt_state is
+    (opt_state, ema) exactly as in make_train_step.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -236,17 +329,33 @@ def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
         # opt.init builds moments with zeros_like on the placed arrays,
         # which inherit the input sharding; step counters replicate
         opt_state = opt.init(placed)
+        if ema_decay is not None:
+            ema = jax.tree.map(lambda x: jnp.array(x, copy=True), placed)
+            return placed, (opt_state, ema)
         return placed, opt_state
 
     in_batch = NamedSharding(mesh, batch_pspec(3))
     in_refs = NamedSharding(mesh, batch_pspec(4))
 
-    step_fn = jax.jit(
-        make_step_impl(opt, functools.partial(l1_loss, cfg=cfg,
-                                              remat=remat), None),
-        donate_argnums=(0, 1))
+    loss = functools.partial(l1_loss, cfg=cfg, remat=remat,
+                             remat_policy=remat_policy,
+                             compute_dtype=compute_dtype)
+    step_impl = make_step_impl(opt, loss, ema_decay)
+    if augment:
+        from .data import augment_stems, mix_from_stems
 
-    def place_batch(mix, refs):
-        return (_put(mix, in_batch), _put(refs, in_refs))
+        def aug_step(params, opt_state, key, stems):
+            a = augment_stems(key, stems)
+            return step_impl(params, opt_state, mix_from_stems(a), a)
+
+        step_fn = jax.jit(aug_step, donate_argnums=(0, 1))
+
+        def place_batch(stems):
+            return _put(stems, in_refs)
+    else:
+        step_fn = jax.jit(step_impl, donate_argnums=(0, 1))
+
+        def place_batch(mix, refs):
+            return (_put(mix, in_batch), _put(refs, in_refs))
 
     return place_fn, step_fn, place_batch

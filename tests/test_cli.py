@@ -87,6 +87,48 @@ def test_cli_end_to_end(tmp_path):
         assert np.isfinite(stem).all()
 
 
+def test_cli_fused_serving_flags(tmp_path):
+    """The measured-best serving config (--fused --transfer-int16) is
+    reachable from the flagship CLI and produces valid stems."""
+    cfg = HTDEMUCS_4S
+    flat = P.init_flat(P.htdemucs_schema(cfg), seed=0)
+    model = tmp_path / "model.bin"
+    write_ggml(model, "htdemucs_4s", flat)
+    rng = np.random.default_rng(4)
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 30000)) * 0.2)
+                    .astype(np.float32))
+    outdir = tmp_path / "out"
+    rc = main([str(model), str(wav), str(outdir),
+               "--fused", "--transfer-int16", "--fused-buckets", "geo",
+               "--pipeline-depth", "1", "--batch", "2",
+               "--segment-samples", "16384"])
+    assert rc == 0
+    for i, name in enumerate(cfg.sources):
+        stem, _ = audio.read_wav(outdir / f"target_{i}_{name}.wav")
+        assert stem.shape == (2, 30000) and np.isfinite(stem).all()
+
+
+def test_cli_stream_mode(tmp_path):
+    """--stream: chunked stateful separation from the flagship CLI."""
+    cfg = HTDEMUCS_4S
+    flat = P.init_flat(P.htdemucs_schema(cfg), seed=0)
+    model = tmp_path / "model.bin"
+    write_ggml(model, "htdemucs_4s", flat)
+    rng = np.random.default_rng(5)
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 30000)) * 0.2)
+                    .astype(np.float32))
+    outdir = tmp_path / "out"
+    rc = main([str(model), str(wav), str(outdir), "--stream",
+               "--stream-chunk-secs", "0.2", "--batch", "4",
+               "--segment-samples", "16384"])
+    assert rc == 0
+    for i, name in enumerate(cfg.sources):
+        stem, _ = audio.read_wav(outdir / f"target_{i}_{name}.wav")
+        assert stem.shape == (2, 30000) and np.isfinite(stem).all()
+
+
 def test_cli_arg_validation(tmp_path, capsys):
     wav = tmp_path / "in.wav"
     audio.write_wav(wav, np.zeros((2, 100), np.float32))

@@ -69,6 +69,75 @@ def test_two_process_hybrid_mesh_separation(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_training_via_cli(tmp_path):
+    """Distributed training through the REAL user entry point
+    (tools/train_cli.py --coordinator/--process-id/--num-processes):
+    two processes train 2 augmented+EMA steps and the lead checkpoints;
+    the result must match the same CLI run single-process (same seed,
+    same global batches — only the dp reduction order may differ)."""
+    port = "19861"
+    ck2 = tmp_path / "ck2p"
+    env = {**os.environ, "PYTHONPATH": str(REPO)}
+    worker = Path(__file__).parent / "multiproc_train_cli_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", port, str(ck2)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(REPO), env=env)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i} failed:\n{logs[i][-3000:]}"
+
+    # single-process run of the SAME CLI invocation (in-process)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import optax
+
+    from demucs_tpu.tools.train_cli import main as train_main
+    from demucs_tpu.train import load_train_state
+
+    ck1 = tmp_path / "ck1p"
+    rc = train_main(["--synthetic", "--steps", "2", "--batch", "8",
+                     "--segment-samples", "8192", "--log-every", "1",
+                     "--test-tiny", "--seed", "0", "--lr", "1e-3",
+                     "--ema", "0.9", "--ckpt", str(ck1),
+                     "--save-every", "100"])
+    assert rc == 0
+
+    import dataclasses
+
+    from demucs_tpu import params as P
+    from demucs_tpu.config import HTDEMUCS_4S
+
+    cfg = dataclasses.replace(HTDEMUCS_4S, channels=8, bottom_channels=32,
+                              t_layers=3)
+    like = P.unflatten_tree(P.init_flat(P.htdemucs_schema(cfg), seed=0))
+    opt = optax.adam(1e-3)
+    p2, _, step2, ema2 = load_train_state(ck2, like, opt)
+    p1, _, step1, ema1 = load_train_state(ck1, like, opt)
+    assert step1 == step2 == 2
+    assert ema1 is not None and ema2 is not None
+    # tolerance note: Adam's g/sqrt(v) update is scale-free, so the
+    # dp-reduction-order noise in tiny gradients is amplified to a
+    # visible fraction of one update step; gate at a tenth of the
+    # 2-step x lr=1e-3 update scale, not at float precision
+    flat1, flat2 = P.flatten_tree(p1), P.flatten_tree(p2)
+    for k in list(flat1)[::7]:
+        np.testing.assert_allclose(flat2[k], flat1[k], rtol=1e-2,
+                                   atol=2e-4, err_msg=k)
+    e1, e2 = P.flatten_tree(ema1), P.flatten_tree(ema2)
+    for k in list(e1)[::7]:
+        np.testing.assert_allclose(e2[k], e1[k], rtol=1e-2, atol=2e-4,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
 def test_two_process_sharded_training_step(tmp_path):
     """Distributed TRAINING over the hybrid mesh: two processes run the
     same dp-sharded train step; losses and updated params must agree

@@ -126,6 +126,32 @@ def test_sharded_separator_identity_roundtrip():
     np.testing.assert_allclose(out[0], audio, atol=1e-4)
 
 
+def test_sharded_separator_fused_matches_batched():
+    """The fused whole-track program over the mesh (dp-sharded internal
+    segment batch, replicated in/out) must reproduce the batched dp
+    path — with a translation-sensitive model, so tail handling and the
+    pad/unpad around the dp constraint are both exercised."""
+    import dataclasses
+
+    def positional(params, mix):
+        B, C, T = mix.shape
+        ramp = 0.5 + jnp.arange(T, dtype=jnp.float32) / (2 * T)
+        d1 = jnp.pad(mix, ((0, 0), (0, 0), (3, 0)))[:, :, :T]
+        return jnp.stack([mix * ramp, d1 * ramp], axis=1)
+
+    rng = np.random.default_rng(6)
+    audio = (rng.standard_normal((2, 30011)) * 0.3).astype(np.float32)
+    opts = ApplyOptions(segment_samples=4096, batch_size=6, shift_offset=55,
+                        max_shift_secs=0.02)
+    mesh = make_mesh()
+    ref = ShardedSeparator(positional, {}, 2, mesh, opts)(audio)
+    fused = ShardedSeparator(
+        positional, {}, 2, mesh,
+        dataclasses.replace(opts, fused_track=True))(audio)
+    assert fused.shape == ref.shape == (2, 2, 30011)
+    np.testing.assert_allclose(fused, ref, atol=3e-5)
+
+
 def test_sharded_separator_does_not_mutate_options():
     opts = ApplyOptions(segment_samples=4096, batch_size=3)
     mesh = make_mesh()

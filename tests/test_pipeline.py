@@ -245,6 +245,66 @@ def test_fused_track_int16_and_many():
         np.testing.assert_allclose(o[2], ref[2], atol=3e-4 * max(std, 1.0))
 
 
+def _positional_model(params, mix):
+    """(B, C, T) -> (B, 3, C, T), translation-SENSITIVE: each stem
+    delays the input and scales by an absolute intra-segment position
+    ramp, so output depends on WHERE content sits inside the segment —
+    any divergence between the fused tail padding and
+    split_into_segments' symmetric placement shows up immediately."""
+    B, C, T = mix.shape
+    ramp = 0.5 + jnp.arange(T, dtype=jnp.float32) / (2 * T)
+    outs = []
+    for s in range(3):
+        d = s * 7 + 3
+        shifted = jnp.pad(mix, ((0, 0), (0, 0), (d, 0)))[:, :, :T]
+        outs.append(shifted * ramp)
+    return jnp.stack(outs, axis=1)
+
+
+def test_fused_track_tail_exact_with_positional_model():
+    """The fused program must reproduce the offline tail semantics for
+    a NON-stride-multiple track length with a model that cares about
+    absolute position (the identity-model test cannot detect a tail
+    placement bug)."""
+    import dataclasses
+    rng = np.random.default_rng(11)
+    base = ApplyOptions(segment_samples=4096, batch_size=4, shift_offset=17,
+                        max_shift_secs=0.02)
+    # lengths chosen to land mid-stride (worst-case tail) and just
+    # past a stride boundary
+    for n in (50011, 3072 * 5 + 1, 9000):
+        audio = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+        batched = Separator(_positional_model, {}, 3, base)(audio)
+        fused = Separator(_positional_model, {}, 3,
+                          dataclasses.replace(base, fused_track=True))(audio)
+        assert fused.shape == batched.shape == (3, 2, n)
+        np.testing.assert_allclose(fused, batched, atol=3e-5,
+                                   err_msg=f"n={n}")
+
+
+def test_fused_geo_buckets_exact_and_fewer_compiles():
+    """fused_buckets='geo': arbitrary lengths share log-many compiled
+    programs, and the output still matches the offline batched path
+    exactly (the traced-tail program is exact inside its bucket)."""
+    import dataclasses
+    rng = np.random.default_rng(12)
+    base = ApplyOptions(segment_samples=4096, batch_size=4, shift_offset=0,
+                        max_shift_secs=0.0)
+    geo = Separator(_positional_model, {}, 3,
+                    dataclasses.replace(base, fused_track=True,
+                                        fused_buckets="geo"))
+    lengths = [9000, 9500, 10000, 30000, 31000, 33000]
+    for n in lengths:
+        audio = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+        ref = Separator(_positional_model, {}, 3, base)(audio)
+        out = geo(audio)
+        np.testing.assert_allclose(out, ref, atol=3e-5, err_msg=f"n={n}")
+    # geo grid 1,2,3,4,5,7,9,12: 9000/9500 are 3 segments (bucket 3),
+    # 10000 is 4 (bucket 4), 30000-33000 are 10-11 (bucket 12) —
+    # six lengths share three compiled programs
+    assert len(geo._fused_cache) == 3, list(geo._fused_cache)
+
+
 def test_sequential_bag_fused_matches_batched():
     """fused_track on the ft bag must still apply the per-stem model
     selection (one fused call per model), not silently run model 0."""
@@ -265,11 +325,5 @@ def test_sequential_bag_fused_matches_batched():
     np.testing.assert_allclose(fused, ref, atol=2e-5)
 
 
-def test_sharded_separator_rejects_fused():
-    import dataclasses
-    import pytest
-    from demucs_tpu.parallel import ShardedSeparator, make_mesh
-
-    opts = ApplyOptions(fused_track=True)
-    with pytest.raises(NotImplementedError):
-        ShardedSeparator(_identity_model, {}, 3, make_mesh(), opts)
+# (ShardedSeparator used to reject fused_track; r4 implements it —
+# tests/test_parallel.py::test_sharded_separator_fused_matches_batched)

@@ -22,26 +22,37 @@ def server(tmp_path_factory):
     flat = P.init_flat(P.htdemucs_schema(HTDEMUCS_4S), seed=0)
     model = tmp / "m.bin"
     write_ggml(model, "htdemucs_4s", flat)
-    srv = make_server(str(model), port=0, segment_samples=16384, batch=2)
+    # precompile the geo bucket test_separate_roundtrip's 20000-sample
+    # upload lands in: the request must reuse the warmed program
+    srv = make_server(str(model), port=0, segment_samples=16384, batch=2,
+                      precompile_secs=[20000 / 44100.0])
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    yield srv
     srv.shutdown()
 
 
-def test_health(server):
-    with urllib.request.urlopen(f"{server}/health", timeout=30) as r:
+@pytest.fixture(scope="module")
+def server_url(server):
+    return f"http://127.0.0.1:{server.server_address[1]}"
+
+
+def test_health(server_url):
+    with urllib.request.urlopen(f"{server_url}/health", timeout=30) as r:
         body = json.loads(r.read())
     assert body["status"] == "ok"
     assert body["sources"] == ["drums", "bass", "other", "vocals"]
 
 
-def test_separate_roundtrip(server, tmp_path):
+def test_separate_roundtrip(server, server_url, tmp_path):
+    # --precompile warmed exactly one geo bucket at startup
+    warmed = dict(server.separator._fused_cache)
+    assert len(warmed) == 1
     rng = np.random.default_rng(0)
     wav = tmp_path / "in.wav"
     audio.write_wav(wav, (rng.standard_normal((2, 20000)) * 0.2)
                     .astype(np.float32))
-    req = urllib.request.Request(f"{server}/separate",
+    req = urllib.request.Request(f"{server_url}/separate",
                                  data=wav.read_bytes(), method="POST")
     with urllib.request.urlopen(req, timeout=300) as r:
         assert r.headers["Content-Type"] == "application/zip"
@@ -56,10 +67,12 @@ def test_separate_roundtrip(server, tmp_path):
     stem, rate = audio.read_wav(tmp_path / "stem.wav")
     assert rate == 44100 and stem.shape == (2, 20000)
     assert np.isfinite(stem).all()
+    # the request reused the precompiled bucket — no new program
+    assert dict(server.separator._fused_cache).keys() == warmed.keys()
 
 
-def test_separate_rejects_garbage(server):
-    req = urllib.request.Request(f"{server}/separate",
+def test_separate_rejects_garbage(server_url):
+    req = urllib.request.Request(f"{server_url}/separate",
                                  data=b"not a wav at all", method="POST")
     try:
         urllib.request.urlopen(req, timeout=30)

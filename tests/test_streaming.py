@@ -64,6 +64,42 @@ def test_streaming_latency_bound():
     stream.flush()
 
 
+def test_streaming_batches_ready_segments():
+    """A push spanning several strides runs ALL its ready segments in
+    one batched device call (power-of-two padded), not one call each;
+    flush batches the tail segments the same way."""
+    stream = StreamingSeparator(_identity_model, {}, 3,
+                                segment_samples=4096, stats=(0.0, 1.0),
+                                max_batch=8)
+    calls = []
+    inner = stream._fn
+    stream._fn = lambda p, m: (calls.append(m.shape[0]) or inner(p, m))
+    rng = np.random.default_rng(5)
+    # 4096 + 5*3072 buffered -> 6 ready segments in one push
+    stream.push(rng.standard_normal((2, 4096 + 3072 * 5))
+                .astype(np.float32))
+    assert calls == [8]  # ONE call, 6 segments padded to the 8 bucket
+    stream.flush()
+    assert calls == [8, 1]  # one tail segment, one call
+
+
+def test_streaming_dtype_default_and_cast():
+    """Float params are cast to the requested dtype (bf16 is the TPU
+    serving default); output stays f32 on the host."""
+    import jax
+    import jax.numpy as jnp_
+
+    params = {"w": np.ones(3, np.float32), "idx": np.arange(3, dtype=np.int32)}
+    stream = StreamingSeparator(_identity_model, params, 3,
+                                segment_samples=4096, stats=(0.0, 1.0),
+                                dtype=jnp_.bfloat16)
+    flat = jax.tree.leaves(stream.params)
+    assert {str(x.dtype) for x in flat} == {"bfloat16", "int32"}
+    out = stream.push(np.random.default_rng(6)
+                      .standard_normal((2, 8192)).astype(np.float32))
+    assert out.dtype == np.float32
+
+
 def test_streaming_running_stats_converge():
     """Without fixed stats the streamed output still reconstructs the
     identity closely once the statistics window has filled."""

@@ -172,6 +172,39 @@ def test_sdr_acceptance_gate(tmp_path, capsys):
         assert rep[stem]["cross_impl_sdr_db"] > 40, rep
 
 
+@pytest.mark.slow
+def test_sdr_acceptance_gate_ft_bag(tmp_path, capsys):
+    """--ft-dir: the BagOfModels ensemble gate (the reference's best
+    SDR row, .github/SDR_scores.md:48-61) — JAX bag vs torch oracle
+    bag, per stem. Distinct per-stem weights catch any model/stem
+    pairing mixup."""
+    from demucs_tpu import params as P
+    from demucs_tpu.config import HTDEMUCS_4S
+    from demucs_tpu.params.ggml import write_ggml
+    from demucs_tpu.tools.sdr_acceptance import main as accept_main
+
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    for i, stem in enumerate(("drums", "bass", "other", "vocals")):
+        flat = P.init_flat(P.htdemucs_schema(HTDEMUCS_4S), seed=10 + i)
+        write_ggml(mdir / f"ggml-model-htdemucs_ft_{stem}-f16.bin",
+                   "htdemucs_4s", flat)
+    rng = np.random.default_rng(11)
+    wav = tmp_path / "in.wav"
+    # >= 1 s: median_sdr needs at least one full 1-second eval window
+    audio.write_wav(wav, (rng.standard_normal((2, 66150)) * 0.2)
+                    .astype(np.float32))
+    rc = accept_main(["--ft-dir", str(mdir), str(wav),
+                      "--workdir", str(tmp_path / "w"),
+                      "--segment-samples", "16384"])
+    assert rc == 0
+    import json
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["pass"]
+    for stem in ("drums", "bass", "other", "vocals"):
+        assert rep[stem]["cross_impl_sdr_db"] > 40, rep
+
+
 def test_memory_report_budgets():
     """Compiled HBM budget: int8 weights must shrink the argument bytes
     vs bf16, and every field must be present and positive-ish."""
