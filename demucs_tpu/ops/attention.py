@@ -68,13 +68,31 @@ def _sdpa(Q, K, V):
 
 
 def _sdpa_fwd(Q, K, V):
-    return _sdpa(Q, K, V), (Q, K, V)
+    T, S = Q.shape[1], K.shape[1]
+    from .pallas.attention import flash_supported
+
+    if _use_flash() and flash_supported(T, S):
+        # flash forward that also emits the per-row logsumexp: the
+        # backward rebuilds P blockwise in VMEM from (Q, K, lse)
+        # instead of materializing four (B*H, T, S) f32 tensors in HBM
+        from .pallas.attention import flash_mha_fwd
+        out, lse = flash_mha_fwd(Q.transpose(0, 2, 1, 3),
+                                 K.transpose(0, 2, 1, 3),
+                                 V.transpose(0, 2, 1, 3))
+        o = out.transpose(0, 2, 1, 3)
+        return o, (Q, K, V, o, lse)
+    return _sdpa_einsum(Q, K, V), (Q, K, V, None, None)
 
 
 def _sdpa_bwd(res, g):
     import math
 
-    Q, K, V = res
+    Q, K, V, O, lse = res
+    if lse is not None:
+        from .pallas.attention import flash_mha_bwd
+        tr = lambda x: x.transpose(0, 2, 1, 3)  # noqa: E731
+        dq, dk, dv = flash_mha_bwd(tr(Q), tr(K), tr(V), tr(O), lse, tr(g))
+        return tr(dq), tr(dk), tr(dv)
     D = Q.shape[-1]
     scale = 1.0 / math.sqrt(D)
     f32 = jnp.float32

@@ -125,3 +125,198 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(B, H, T, D)
+
+
+# --- training: flash backward ----------------------------------------------
+#
+# The einsum VJP materializes logits/P/dP/dS — four (B*H, T, S) f32
+# tensors per attention (at T=S=2688, B*H=16 that is ~1.8 GB of HBM
+# traffic per layer). The flash backward recomputes P blockwise from
+# the forward's logsumexp, so only (tile, S) logits ever exist, in
+# VMEM. Standard two-kernel split: dQ on the T grid, dK/dV on the S
+# grid; delta = rowsum(dO * O) is a cheap fused XLA prepass.
+
+
+def _mha_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                        bs: int, sm_scale: float):
+    """Forward that also writes the per-row logsumexp (training path).
+
+    Same streaming schedule as _mha_kernel; lse = m + log(l) of the
+    SCALED logits, which is all the backward needs to rebuild P."""
+    _, bt, d = q_ref.shape
+    s_total = k_ref.shape[1]
+    n_blocks = s_total // bs
+    q = q_ref[0]
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * bs, bs), :]
+        v = v_ref[0, pl.ds(i * bs, bs), :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((bt, d), jnp.float32)
+    m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bt, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
+
+
+def _mha_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dq_ref, *, sm_scale: float):
+    """One (batch*head, T-block) program -> dQ tile.
+
+    Full-S K/V blocks (the measured-fast forward schedule): one
+    (bt, S) logits tile in VMEM, no streaming rounds."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]          # (bt,)
+    delta = delta_ref[0]      # (bt,)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale       # (bt, S)
+    p = jnp.exp(logits - lse[:, None])
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (bt, S)
+    ds = p * (dp - delta[:, None])                           # (bt, S) f32
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _mha_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        dk_ref, dv_ref, *, sm_scale: float):
+    """One (batch*head, S-block) program -> dK/dV tiles (full-T Q/dO)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]          # (T,)
+    delta = delta_ref[0]      # (T,)
+    logits_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale       # (bs, T)
+    p_t = jnp.exp(logits_t - lse[None, :])
+    dv = jax.lax.dot_general(
+        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (bs, D)
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (bs, T)
+    ds_t = p_t * (dp_t - delta[None, :])
+    dk = jax.lax.dot_general(
+        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_mha_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  interpret: bool = False):
+    """Forward returning (out, lse) for the training VJP.
+
+    q: (B, H, T, D), k/v: (B, H, S, D) -> out (B, H, T, D),
+    lse (B*H, T) f32 logsumexp of the scaled logits."""
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    f32_operands = jnp.dtype(q.dtype).itemsize >= 4
+    bt = _pick_block(T, target=448 if f32_operands else 896)
+    bs = _pick_block(S, target=2688)
+    if not bt or not bs:
+        raise ValueError(f"unsupported seq lens T={T}, S={S}")
+    sm_scale = 1.0 / math.sqrt(D)
+    qf = q.reshape(B * H, T, D)
+    kf = k.reshape(B * H, S, D)
+    vf = v.reshape(B * H, S, D)
+    grid = (B * H, T // bt)
+    out, lse = pl.pallas_call(
+        functools.partial(_mha_fwd_lse_kernel, bs=bs, sm_scale=sm_scale),
+        out_shape=[jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+                   jax.ShapeDtypeStruct((B * H, T), jnp.float32)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
+                   pl.BlockSpec((1, bt), lambda b, t: (b, t))],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, T, D), lse
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
+    """dQ/dK/dV without materializing (B*H, T, S) in HBM.
+
+    Inputs as flash_mha_fwd; do is the output cotangent (B, H, T, D).
+    Returns (dq, dk, dv) in the operand dtypes."""
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    f32_operands = jnp.dtype(q.dtype).itemsize >= 4
+    bt = _pick_block(T, target=448 if f32_operands else 896)
+    bs = _pick_block(S, target=448 if f32_operands else 896)
+    if not bt or not bs:
+        raise ValueError(f"unsupported seq lens T={T}, S={S}")
+    sm_scale = 1.0 / math.sqrt(D)
+    qf = q.reshape(B * H, T, D)
+    kf = k.reshape(B * H, S, D)
+    vf = v.reshape(B * H, S, D)
+    of = o.reshape(B * H, T, D)
+    dof = do.reshape(B * H, T, D)
+    # delta_t = sum_d dO * O — a cheap fused elementwise+reduce in XLA
+    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1)                                 # (B*H, T)
+
+    dq = pl.pallas_call(
+        functools.partial(_mha_bwd_dq_kernel, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        grid=(B * H, T // bt),
+        in_specs=[
+            pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, bt), lambda b, t: (b, t)),
+            pl.BlockSpec((1, bt), lambda b, t: (b, t)),
+        ],
+        out_specs=pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_mha_bwd_dkv_kernel, sm_scale=sm_scale),
+        out_shape=[jax.ShapeDtypeStruct((B * H, S, D), k.dtype),
+                   jax.ShapeDtypeStruct((B * H, S, D), v.dtype)],
+        grid=(B * H, S // bs),
+        in_specs=[
+            pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, T), lambda b, s: (b, 0)),
+            pl.BlockSpec((1, T), lambda b, s: (b, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0)),
+                   pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0))],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+    shape = (B, H, T, D), (B, H, S, D)
+    return dq.reshape(shape[0]), dk.reshape(shape[1]), dv.reshape(shape[1])

@@ -136,3 +136,79 @@ def test_gn_glu_scale_res_matches_ops_chain():
         got = np.asarray(gn_glu_scale_res(x, g, b, ls, res, interpret=True))
         np.testing.assert_allclose(got, ref, atol=2e-5,
                                    err_msg=str((R, C, T)))
+
+
+def test_flash_fwd_lse_matches_reference():
+    """flash_mha_fwd (the training forward) must reproduce flash_mha's
+    output and emit the correct logsumexp of the scaled logits."""
+    import math
+    from demucs_tpu.ops.pallas.attention import flash_mha_fwd
+
+    rng = np.random.default_rng(3)
+    B, H, T, S, D = 2, 2, 128, 96, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    out, lse = flash_mha_fwd(q, k, v, interpret=True)
+    ref = _ref_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    logits = np.einsum("bhtd,bhsd->bhts", np.asarray(q),
+                       np.asarray(k)) / math.sqrt(D)
+    m = logits.max(-1)
+    ref_lse = m + np.log(np.exp(logits - m[..., None]).sum(-1))
+    np.testing.assert_allclose(np.asarray(lse).reshape(B, H, T),
+                               ref_lse, atol=2e-5)
+
+
+def test_flash_bwd_matches_einsum_vjp():
+    """flash_mha_bwd must match autodiff through the einsum attention —
+    the training path swaps it in for the (B*H, T, S)-materializing
+    VJP (ops/attention.py:_sdpa_bwd)."""
+    from demucs_tpu.ops.pallas.attention import flash_mha_bwd, flash_mha_fwd
+
+    rng = np.random.default_rng(4)
+    B, H, T, S, D = 1, 3, 128, 96, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+
+    ref, vjp = jax.vjp(_ref_attention, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    out, lse = flash_mha_fwd(q, k, v, interpret=True)
+    dq, dk, dv = flash_mha_bwd(q, k, v, out, lse, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=3e-5)
+
+
+def test_sdpa_flash_vjp_matches_einsum_vjp():
+    """End-to-end: grads through ops.attention._sdpa with the flash path
+    forced on (interpret pallas) equal grads through the einsum path."""
+    from demucs_tpu.ops import attention as A
+
+    rng = np.random.default_rng(5)
+    B, T, S, H, D = 2, 128, 96, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(jnp.abs(A._sdpa(q, k, v)))
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    old = A.USE_FLASH
+    A.USE_FLASH = True
+    try:
+        import demucs_tpu.ops.pallas.attention as PA
+        orig_fwd, orig_bwd = PA.flash_mha_fwd, PA.flash_mha_bwd
+        PA.flash_mha_fwd = lambda *a, **kw: orig_fwd(*a, interpret=True)
+        PA.flash_mha_bwd = lambda *a, **kw: orig_bwd(*a, interpret=True)
+        try:
+            g_fl = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            PA.flash_mha_fwd, PA.flash_mha_bwd = orig_fwd, orig_bwd
+    finally:
+        A.USE_FLASH = old
+    for a, b in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
