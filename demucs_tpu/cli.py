@@ -200,6 +200,33 @@ def _run_stream(args) -> int:
     return 0
 
 
+def _maybe_hint_slow_link(threshold_mb_s: float = 100.0) -> None:
+    """One-time host<->device link probe; on a slow link (tunneled or
+    remote device) point at the transfer-bound serving config, which is
+    measured 2.6x faster there (tools/bench_serving.py, CLAUDE.md).
+    Costs two ~8 MB roundtrips (~0.2 s on a 100 MB/s link)."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        mb = 8.0
+        buf = np.zeros(int(mb * 1e6 // 4), np.float32)
+        up = jnp.asarray(buf)          # warm-up / connection setup
+        _ = np.asarray(up)
+        t0 = time.monotonic()
+        up = jnp.asarray(buf)
+        _ = np.asarray(up)             # host fetch = completion fence
+        dt = time.monotonic() - t0
+        rate = 2 * mb / dt
+        if rate < threshold_mb_s:
+            print(f"note: host<->device link measured ~{rate:.0f} MB/s; "
+                  "on link-bound hosts --fused --transfer-int16 is the "
+                  "measured-fast path (one transfer per track)",
+                  file=sys.stderr)
+    except Exception:
+        pass  # a failed probe must never block separation
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="demucs-tpu",
@@ -290,6 +317,9 @@ def main(argv=None) -> int:
     except (ValueError, FileNotFoundError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+
+    if not (args.fused or args.transfer_int16):
+        _maybe_hint_slow_link()
 
     t0 = time.monotonic()
     if len(tracks) == 1:

@@ -170,7 +170,7 @@ def _mha_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     l0 = jnp.zeros((bt, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = m + jnp.log(l)          # (bt, 1)
 
 
 def _mha_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -183,16 +183,16 @@ def _mha_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]          # (bt,)
-    delta = delta_ref[0]      # (bt,)
+    lse = lse_ref[0]          # (bt, 1)
+    delta = delta_ref[0]      # (bt, 1)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale       # (bt, S)
-    p = jnp.exp(logits - lse[:, None])
+    p = jnp.exp(logits - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                  # (bt, S)
-    ds = p * (dp - delta[:, None])                           # (bt, S) f32
+    ds = p * (dp - delta)                                    # (bt, S) f32
     dq = jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
@@ -206,19 +206,19 @@ def _mha_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]          # (T,)
-    delta = delta_ref[0]      # (T,)
+    lse = lse_ref[0]          # (T, 1)
+    delta = delta_ref[0]      # (T, 1)
     logits_t = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale       # (bs, T)
-    p_t = jnp.exp(logits_t - lse[None, :])
+    p_t = jnp.exp(logits_t - lse[:, 0][None, :])
     dv = jax.lax.dot_general(
         p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                  # (bs, D)
     dp_t = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                  # (bs, T)
-    ds_t = p_t * (dp_t - delta[None, :])
+    ds_t = p_t * (dp_t - delta[:, 0][None, :])
     dk = jax.lax.dot_general(
         ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
@@ -232,7 +232,7 @@ def flash_mha_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Forward returning (out, lse) for the training VJP.
 
     q: (B, H, T, D), k/v: (B, H, S, D) -> out (B, H, T, D),
-    lse (B*H, T) f32 logsumexp of the scaled logits."""
+    lse (B*H, T, 1) f32 logsumexp of the scaled logits."""
     B, H, T, D = q.shape
     S = k.shape[2]
     f32_operands = jnp.dtype(q.dtype).itemsize >= 4
@@ -248,7 +248,7 @@ def flash_mha_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out, lse = pl.pallas_call(
         functools.partial(_mha_fwd_lse_kernel, bs=bs, sm_scale=sm_scale),
         out_shape=[jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
-                   jax.ShapeDtypeStruct((B * H, T), jnp.float32)],
+                   jax.ShapeDtypeStruct((B * H, T, 1), jnp.float32)],
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
@@ -256,7 +256,7 @@ def flash_mha_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
         ],
         out_specs=[pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
-                   pl.BlockSpec((1, bt), lambda b, t: (b, t))],
+                   pl.BlockSpec((1, bt, 1), lambda b, t: (b, t, 0))],
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(B, H, T, D), lse
@@ -283,7 +283,7 @@ def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
     dof = do.reshape(B * H, T, D)
     # delta_t = sum_d dO * O — a cheap fused elementwise+reduce in XLA
     delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
-                    axis=-1)                                 # (B*H, T)
+                    axis=-1, keepdims=True)                  # (B*H, T, 1)
 
     dq = pl.pallas_call(
         functools.partial(_mha_bwd_dq_kernel, sm_scale=sm_scale),
@@ -294,8 +294,8 @@ def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
             pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
             pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
             pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, bt), lambda b, t: (b, t)),
-            pl.BlockSpec((1, bt), lambda b, t: (b, t)),
+            pl.BlockSpec((1, bt, 1), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, bt, 1), lambda b, t: (b, t, 0)),
         ],
         out_specs=pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
         interpret=interpret,
@@ -311,8 +311,8 @@ def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
             pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0)),
             pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0)),
             pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((1, T), lambda b, s: (b, 0)),
-            pl.BlockSpec((1, T), lambda b, s: (b, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, s: (b, 0, 0)),
         ],
         out_specs=[pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0)),
                    pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0))],
