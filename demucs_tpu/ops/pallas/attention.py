@@ -271,8 +271,11 @@ def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
     B, H, T, D = q.shape
     S = k.shape[2]
     f32_operands = jnp.dtype(q.dtype).itemsize >= 4
-    bt = _pick_block(T, target=448 if f32_operands else 896)
-    bs = _pick_block(S, target=448 if f32_operands else 896)
+    # f32 operands double every resident tile; the bwd also keeps
+    # p/dp/ds (tile, S) f32 intermediates live, so the f32 q/kv blocks
+    # drop to 224 (448 failed to compile at T=S=2688)
+    bt = _pick_block(T, target=224 if f32_operands else 896)
+    bs = _pick_block(S, target=224 if f32_operands else 896)
     if not bt or not bs:
         raise ValueError(f"unsupported seq lens T={T}, S={S}")
     sm_scale = 1.0 / math.sqrt(D)
