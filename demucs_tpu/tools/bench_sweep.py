@@ -94,8 +94,19 @@ def family_bench(batch: int = 8, iters: int = 8,
     print(f"ft_bag_sequential4: {report['ft_bag_sequential4']}",
           file=sys.stderr)
 
-    # training step: full htdemucs_4s, adopted config (remat on, f32
-    # master weights) at the measured-best batch
+    # unrolled one-program bag: the ADOPTED single-device/shard_map
+    # form (r4, docs/bag_forms_micro.py — beats sequential-4 by ~3%)
+    from ..models.bag import bag_segment, stack_bag_params
+
+    stacked = stack_bag_params([params4] * 4)
+    fnb = jax.jit(lambda p, m: bag_segment(p, m, HTDEMUCS_4S))
+    report["ft_bag_unrolled"] = measure(fnb, stacked, mix)
+    del stacked
+    print(f"ft_bag_unrolled: {report['ft_bag_unrolled']}", file=sys.stderr)
+
+    # training step: full htdemucs_4s at the adopted r4 config
+    # (no remat, bf16 compute / f32 master weights, flash backward —
+    # docs/PROFILE_r4.md)
     import optax
 
     from ..train import make_train_step
@@ -104,7 +115,8 @@ def family_bench(batch: int = 8, iters: int = 8,
                                         seed=0))
     tree = jax.tree.map(jnp.asarray, tree)
     init_fn, step_fn = make_train_step(HTDEMUCS_4S, optax.adam(3e-4),
-                                       remat=True)
+                                       remat=False,
+                                       compute_dtype=jnp.bfloat16)
     opt_state = init_fn(tree)
     mixt = jnp.asarray(mix_host[:train_batch], jnp.float32)
     refs = jnp.asarray((rng.standard_normal((train_batch, 4, 2, seg))
@@ -117,7 +129,7 @@ def family_bench(batch: int = 8, iters: int = 8,
     float(loss)
     dt = (time.perf_counter() - t0) / iters
     report["train_step"] = {
-        "batch": train_batch, "remat": True,
+        "batch": train_batch, "remat": False, "compute_dtype": "bf16",
         "step_s": round(dt, 4),
         "audio_s_per_s": round(train_batch * seg / 44100.0 / dt, 1)}
     print(f"train_step: {report['train_step']}", file=sys.stderr)

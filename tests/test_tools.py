@@ -249,3 +249,23 @@ def test_train_memory_report():
     norm = train_compiled_memory("4s", batch=1, segment=65536, remat=False)
     # remat must not need MORE activation workspace
     assert rep["temp_bytes"] <= norm["temp_bytes"]
+
+
+@pytest.mark.slow
+def test_family_bench_smoke():
+    """--family emits one JSON object with every family + the adopted
+    bag form + the train step (the machine-readable round-over-round
+    artifact, BENCH_FAMILY_r*.json)."""
+    import json
+
+    from demucs_tpu.tools import bench_sweep
+
+    report = bench_sweep.family_bench(batch=1, iters=1, train_batch=1,
+                                      seg=16384)
+    s = json.dumps(report)  # must be JSON-serializable
+    for key in ("htdemucs_4s", "htdemucs_6s", "hdemucs_v3",
+                "ft_bag_sequential4", "ft_bag_unrolled", "train_step"):
+        assert key in report, key
+        assert report[key]["step_s"] > 0
+    assert report["train_step"]["compute_dtype"] == "bf16"
+    assert len(s) < 4096
