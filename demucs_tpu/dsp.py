@@ -193,12 +193,21 @@ def _conv_pe32(x: jnp.ndarray, k_np: np.ndarray, dtype, **kw) -> jnp.ndarray:
         return run(x), None
 
     def bwd(_, ct):
-        # kernel VALUES are the dtype-rounded ones; math in f32
-        k32 = jnp.asarray(k_np, dtype).astype(jnp.float32)
+        # transposed conv in the operand dtype (MXU still accumulates
+        # f32 internally): on the bf16 fast path the f32 version cost
+        # ~2x the bytes AND ran the MXU at half rate (profile_hlo r4:
+        # the ispec-bwd fusions were among the top ops); rounding the
+        # cotangent to bf16 is the same precision story as the rest of
+        # bf16-compute training. The inner conv's OUTPUT dtype matches
+        # its operands (no preferred-type upcast), so its own transpose
+        # is a legal same-dtype conv.
+        kw_b = {k_: v_ for k_, v_ in kw.items()
+                if k_ != "preferred_element_type"}
         _, vjp = jax.vjp(
-            lambda v: jax.lax.conv_general_dilated(v, k32, **kw),
-            jnp.zeros(shape, jnp.float32))
-        (xbar,) = vjp(ct)
+            lambda v: jax.lax.conv_general_dilated(
+                v, jnp.asarray(k_np, dtype), **kw_b),
+            jnp.zeros(shape, dtype))
+        (xbar,) = vjp(ct.astype(dtype))
         return (xbar.astype(dt),)
 
     run.defvjp(fwd, bwd)
