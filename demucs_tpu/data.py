@@ -148,3 +148,47 @@ def make_augmented_train_step(cfg, optimizer=None, remat: bool = False,
         return step_impl(params, opt_state, mix_from_stems(aug), aug)
 
     return init_fn, step_fn
+
+
+def make_augmented_multi_train_step(cfg, optimizer=None,
+                                    remat: bool = False,
+                                    ema_decay: float | None = None,
+                                    remat_policy: str = "dots",
+                                    compute_dtype=None):
+    """K augmented optimizer steps per device dispatch (lax.scan) —
+    the augmented counterpart of train.make_multi_train_step (which
+    documents why: ~10 ms/step of host pytree marshaling amortizes to
+    ~10/K, docs/PROFILE_r4.md §8).
+
+    step_fn(params, opt_state, key, stems_stack(K,B,S,C,T)) ->
+        (params, opt_state, losses(K,)); the key is split into one
+    independent augmentation key per scanned step."""
+    import functools
+
+    import optax
+
+    from .train import l1_loss, make_init_fn, make_step_impl
+
+    opt = optimizer or optax.adam(3e-4)
+    loss = functools.partial(l1_loss, cfg=cfg, remat=remat,
+                             remat_policy=remat_policy,
+                             compute_dtype=compute_dtype)
+    init_fn = make_init_fn(opt, ema_decay)
+    step_impl = make_step_impl(opt, loss, ema_decay)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step(params, opt_state, key, stems_stack):
+        keys = jax.random.split(key, stems_stack.shape[0])
+
+        def body(carry, xs):
+            p, s = carry
+            k, stems = xs
+            aug = augment_stems(k, stems)
+            p, s, l = step_impl(p, s, mix_from_stems(aug), aug)
+            return (p, s), l
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (keys, stems_stack))
+        return params, opt_state, losses
+
+    return init_fn, multi_step

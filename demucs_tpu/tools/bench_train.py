@@ -27,16 +27,19 @@ import numpy as np
 
 
 def bench_one(cfg, batch: int, seg: int, remat: str, dtype_name: str,
-              iters: int, lr: float = 3e-4) -> dict:
+              iters: int, lr: float = 3e-4,
+              steps_per_call: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
 
     from .. import params as P
-    from ..train import make_train_step
+    from ..train import make_multi_train_step, make_train_step
 
     compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else None
-    init_fn, step_fn = make_train_step(
+    maker = (make_multi_train_step if steps_per_call > 1
+             else make_train_step)
+    init_fn, step_fn = maker(
         cfg, optax.adam(lr),
         remat=remat != "off",
         remat_policy=remat if remat != "off" else "dots",
@@ -54,15 +57,22 @@ def bench_one(cfg, batch: int, seg: int, remat: str, dtype_name: str,
     refs = jnp.asarray(rng.standard_normal(
         (batch, cfg.num_sources, 2, seg)) * 0.05, jnp.float32)
 
+    if steps_per_call > 1:
+        mix = jnp.broadcast_to(mix, (steps_per_call,) + mix.shape)
+        refs = jnp.broadcast_to(refs, (steps_per_call,) + refs.shape)
+
+    def fence(loss):
+        float(loss[-1] if steps_per_call > 1 else loss)
+
     t0 = time.perf_counter()
     p, s, loss = step_fn(params, opt_state, mix, refs)
-    float(loss)
+    fence(loss)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         p, s, loss = step_fn(p, s, mix, refs)
-    float(loss)  # fences the whole chain
-    dt = (time.perf_counter() - t0) / iters
+    fence(loss)  # fences the whole chain
+    dt = (time.perf_counter() - t0) / (iters * steps_per_call)
     return {"step_s": round(dt, 4),
             "audio_s_per_s": round(batch * seg / 44100.0 / dt, 1),
             "compile_s": round(compile_s, 1)}
@@ -77,6 +87,8 @@ def main(argv=None) -> int:
                     choices=["f32", "bf16"])
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--v3", action="store_true")
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="optimizer steps per dispatch (lax.scan)")
     ap.add_argument("--segment-samples", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -95,9 +107,12 @@ def main(argv=None) -> int:
                        "batch": batch, "remat": remat,
                        "compute_dtype": dtype_name,
                        "segment_samples": seg}
+                if args.steps_per_call > 1:
+                    rec["steps_per_call"] = args.steps_per_call
                 try:
                     rec.update(bench_one(cfg, batch, seg, remat,
-                                         dtype_name, args.iters))
+                                         dtype_name, args.iters,
+                                         steps_per_call=args.steps_per_call))
                 except Exception as e:  # OOM boundary is a data point
                     msg = str(e)
                     if "RESOURCE_EXHAUSTED" not in msg and "emory" not in msg:

@@ -96,6 +96,11 @@ def main(argv=None) -> int:
                     default="dots", help="remat policy (train.REMAT_POLICIES)")
     ap.add_argument("--bf16-compute", action="store_true",
                     help="bf16 forward/backward, f32 master weights + Adam")
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="optimizer steps per device dispatch "
+                         "(lax.scan; amortizes the ~10 ms/step host "
+                         "pytree marshaling — docs/PROFILE_r4.md §8; "
+                         "single-host only)")
     ap.add_argument("--ema", type=float, default=None,
                     help="EMA decay for evaluation weights (persisted "
                          "in the checkpoint; exported by --export-ggml)")
@@ -125,6 +130,13 @@ def main(argv=None) -> int:
         ap.error("--resume needs --ckpt")
     if args.num_processes > 1 and not args.coordinator:
         ap.error("--num-processes > 1 needs --coordinator")
+    if args.steps_per_call < 1:
+        ap.error("--steps-per-call must be >= 1")
+    if args.steps_per_call > 1:
+        if args.num_processes > 1:
+            ap.error("--steps-per-call > 1 is single-host only")
+        if args.save_every % args.steps_per_call:
+            ap.error("--save-every must be a multiple of --steps-per-call")
 
     from ..utils import enable_compile_cache
 
@@ -208,9 +220,18 @@ def main(argv=None) -> int:
             ema_decay=args.ema, augment=True)
         params, opt_state = place_fn(params)
     else:
-        init_fn, step_fn = make_augmented_train_step(
-            cfg, opt, remat=args.remat, ema_decay=args.ema,
-            remat_policy=args.remat_policy, compute_dtype=compute_dtype)
+        if args.steps_per_call > 1:
+            from ..data import make_augmented_multi_train_step
+
+            init_fn, step_fn = make_augmented_multi_train_step(
+                cfg, opt, remat=args.remat, ema_decay=args.ema,
+                remat_policy=args.remat_policy,
+                compute_dtype=compute_dtype)
+        else:
+            init_fn, step_fn = make_augmented_train_step(
+                cfg, opt, remat=args.remat, ema_decay=args.ema,
+                remat_policy=args.remat_policy,
+                compute_dtype=compute_dtype)
         opt_state = init_fn(params)
         place_batch = jnp.asarray
 
@@ -276,24 +297,37 @@ def main(argv=None) -> int:
         if is_lead:
             print(f"checkpointed at step {step_no}", file=sys.stderr)
 
+    K = args.steps_per_call
+    if K > 1 and start < args.steps and (args.steps - start) % K:
+        ap.error(f"--steps-per-call {K} must divide the remaining "
+                 f"steps ({args.steps} - resumed {start})")
     key = jax.random.key(args.seed)
     t0 = time.monotonic()
     loss = float("nan")
-    for step in range(start, args.steps):
+    step = start
+    while step < args.steps:
         key, sub = jax.random.split(key)
-        stems = sampler.batch(args.batch)
-        params, opt_state, loss_dev = step_fn(params, opt_state, sub,
-                                              place_batch(stems))
-        if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
+        if K > 1:
+            stems = np.stack([sampler.batch(args.batch)
+                              for _ in range(K)])
+            params, opt_state, losses_dev = step_fn(
+                params, opt_state, sub, place_batch(stems))
+            loss_dev = losses_dev[-1]
+        else:
+            stems = sampler.batch(args.batch)
+            params, opt_state, loss_dev = step_fn(params, opt_state, sub,
+                                                  place_batch(stems))
+        step += K
+        if step % args.log_every < K or step == args.steps:
             loss = float(loss_dev)  # host fetch = fence
-            rate = (step + 1 - start) * args.batch * seg / 44100.0 \
+            rate = (step - start) * args.batch * seg / 44100.0 \
                 / max(time.monotonic() - t0, 1e-9)
             if is_lead:
-                print(f"step {step + 1}/{args.steps}  loss {loss:.5f}  "
+                print(f"step {step}/{args.steps}  loss {loss:.5f}  "
                       f"{rate:.1f} audio-s/s", file=sys.stderr)
-        if args.ckpt and (step + 1) % args.save_every == 0 \
-                and step + 1 != args.steps:
-            do_save(step + 1)
+        if args.ckpt and step % args.save_every == 0 \
+                and step != args.steps:
+            do_save(step)
     if start >= args.steps:
         print(f"nothing to do: resumed step {start} >= --steps "
               f"{args.steps}; checkpoint left untouched", file=sys.stderr)

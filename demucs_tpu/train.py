@@ -109,6 +109,51 @@ def make_train_step(cfg: HTDemucsConfig,
     return init_fn, jax.jit(step_impl, donate_argnums=(0, 1))
 
 
+def make_multi_train_step(cfg: HTDemucsConfig,
+                          optimizer: optax.GradientTransformation | None = None,
+                          loss_fn: Callable | None = None,
+                          remat: bool = False,
+                          ema_decay: float | None = None,
+                          remat_policy: str = "dots",
+                          compute_dtype=None):
+    """K chained optimizer steps per device dispatch (lax.scan).
+
+    Each dispatch of the single-step make_train_step re-marshals the
+    533-leaf donated params pytree — measured ~10 ms/step of host time
+    next to a 57 ms device step (docs/PROFILE_r4.md §8). Scanning K
+    steps inside one jit amortizes that to ~10/K ms: the standard
+    host-offload trainer pattern (upload K batches, dispatch once).
+
+    Returns (init_fn, multi_step_fn):
+      multi_step_fn(params, opt_state, mixes, refss) ->
+          (params, opt_state, losses)
+    with mixes (K, B, 2, L), refss (K, B, S, 2, L), losses (K,) — K is
+    whatever leading length the batch arrays carry (static per
+    compile). The op sequence is K sequential step_fn calls (the scan
+    body compiles once, so XLA fusion choices can differ from the
+    per-step graphs at float level). EMA composes as in
+    make_train_step.
+    """
+    opt = optimizer or optax.adam(3e-4)
+    loss = loss_fn or functools.partial(l1_loss, cfg=cfg, remat=remat,
+                                        remat_policy=remat_policy,
+                                        compute_dtype=compute_dtype)
+    init_fn = make_init_fn(opt, ema_decay)
+    step_impl = make_step_impl(opt, loss, ema_decay)
+
+    def multi_step(params, opt_state, mixes, refss):
+        def body(carry, batch):
+            p, s = carry
+            p, s, l = step_impl(p, s, batch[0], batch[1])
+            return (p, s), l
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (mixes, refss))
+        return params, opt_state, losses
+
+    return init_fn, jax.jit(multi_step, donate_argnums=(0, 1))
+
+
 def make_init_fn(opt: optax.GradientTransformation,
                  ema_decay: float | None):
     def init_fn(params):

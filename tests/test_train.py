@@ -378,3 +378,79 @@ def test_bf16_compute_grads_through_tpu_dsp_backends():
         if n > 1e-6:
             rels.append(np.linalg.norm(a - b) / n)
     assert np.median(rels) < 0.15, np.median(rels)
+
+
+def test_multi_step_matches_sequential_steps():
+    """make_multi_train_step(K) must reproduce K sequential single
+    steps (same op sequence; the scan body compiles once, so fusion
+    choices differ from the per-step graphs at float level — SGD keeps
+    the comparison linear in that noise; Adam's m/sqrt(v) is chaotic
+    for near-zero grads and would amplify it to lr scale)."""
+    import optax
+
+    from demucs_tpu.train import make_multi_train_step, make_train_step
+
+    cfg, params, mix, refs = _tiny()
+    params = jax.tree.map(jnp.asarray, params)
+    K = 3
+    rng = np.random.default_rng(9)
+    mixes = jnp.asarray(rng.standard_normal((K,) + mix.shape) * 0.1,
+                        jnp.float32)
+    refss = jnp.asarray(rng.standard_normal((K,) + refs.shape) * 0.05,
+                        jnp.float32)
+
+    init1, step1 = make_train_step(cfg, optax.sgd(1e-2))
+    s = init1(params)
+    p = params
+    seq_losses = []
+    for i in range(K):
+        p, s, l = step1(p, s, mixes[i], refss[i])
+        seq_losses.append(float(l))
+
+    initk, stepk = make_multi_train_step(cfg, optax.sgd(1e-2))
+    params2 = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                           jax.tree.map(jnp.asarray, _tiny()[1]))
+    sk = initk(params2)
+    pk, sk, losses = stepk(params2, sk, mixes, refss)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=2e-6)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(pk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
+def test_augmented_multi_step_runs_and_learns():
+    """The augmented K-step scan (data.make_augmented_multi_train_step)
+    produces finite decreasing losses on a learnable toy problem."""
+    import optax
+
+    from demucs_tpu.data import make_augmented_multi_train_step
+
+    cfg, params, _, refs = _tiny()
+    params = jax.tree.map(jnp.asarray, params)
+    K = 2
+    rng = np.random.default_rng(10)
+    stems = jnp.asarray(rng.standard_normal(
+        (K,) + refs.shape) * 0.05, jnp.float32)  # (K, B, S, C, T)
+    init_fn, stepk = make_augmented_multi_train_step(cfg, optax.adam(1e-3))
+    s = init_fn(params)
+    key = jax.random.PRNGKey(0)
+    # SAME key both calls: fixed augmented data, so Adam must descend
+    p, s, l1 = stepk(params, s, key, stems)
+    p, s, l2 = stepk(p, s, key, stems)
+    assert np.isfinite(np.asarray(l1)).all()
+    assert np.isfinite(np.asarray(l2)).all()
+    assert float(l2.mean()) < float(l1.mean())
+
+
+def test_train_cli_steps_per_call(capsys):
+    """--steps-per-call K scans K optimizer steps per device dispatch
+    (the host-marshaling amortization; docs/PROFILE_r4.md §8)."""
+    from demucs_tpu.tools.train_cli import main as train_main
+
+    rc = train_main(["--synthetic", "--steps", "4", "--batch", "1",
+                     "--segment-samples", "8192", "--test-tiny",
+                     "--steps-per-call", "2", "--log-every", "2"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "step 4/4" in out.err
+    assert "done: final loss" in out.out
