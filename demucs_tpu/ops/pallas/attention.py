@@ -173,59 +173,6 @@ def _mha_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     lse_ref[0] = m + jnp.log(l)          # (bt, 1)
 
 
-def _mha_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                       dq_ref, *, sm_scale: float):
-    """One (batch*head, T-block) program -> dQ tile.
-
-    Full-S K/V blocks (the measured-fast forward schedule): one
-    (bt, S) logits tile in VMEM, no streaming rounds."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0]          # (bt, 1)
-    delta = delta_ref[0]      # (bt, 1)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale       # (bt, S)
-    p = jnp.exp(logits - lse)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (bt, S)
-    ds = p * (dp - delta)                                    # (bt, S) f32
-    dq = jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-
-
-def _mha_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                        dk_ref, dv_ref, *, sm_scale: float):
-    """One (batch*head, S-block) program -> dK/dV tiles (full-T Q/dO)."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0]          # (T, 1)
-    delta = delta_ref[0]      # (T, 1)
-    logits_t = jax.lax.dot_general(
-        k, q, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale       # (bs, T)
-    p_t = jnp.exp(logits_t - lse[:, 0][None, :])
-    dv = jax.lax.dot_general(
-        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (bs, D)
-    dp_t = jax.lax.dot_general(
-        v, do, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (bs, T)
-    ds_t = p_t * (dp_t - delta[:, 0][None, :])
-    dk = jax.lax.dot_general(
-        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def flash_mha_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   interpret: bool = False):
@@ -262,6 +209,50 @@ def flash_mha_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, H, T, D), lse
 
 
+def _mha_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dq_ref, dk_ref, dv_ref, *, sm_scale: float):
+    """One (batch*head, T-block) program: dQ tile out, dK/dV
+    accumulated into full-S f32 blocks resident across the T axis
+    (out index map ignores t; the t axis is marked "arbitrary" so
+    Mosaic keeps the block and iterates it innermost).
+
+    Computes p/ds ONCE and derives all three grads — the two-kernel
+    split recomputed logits and the exp twice (7 matmuls + 2 softmax
+    rebuilds; this is the minimal 5 + 1)."""
+    t = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]          # (bt, 1)
+    delta = delta_ref[0]      # (bt, 1)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale       # (bt, S)
+    p = jnp.exp(logits - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (bt, S)
+    ds = p * (dp - delta)                                    # (bt, S) f32
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(t == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dsb = ds.astype(q.dtype)
+    dk_ref[0] += jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale       # (S, D)
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (S, D)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
     """dQ/dK/dV without materializing (B*H, T, S) in HBM.
@@ -272,11 +263,10 @@ def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
     S = k.shape[2]
     f32_operands = jnp.dtype(q.dtype).itemsize >= 4
     # f32 operands double every resident tile; the bwd also keeps
-    # p/dp/ds (tile, S) f32 intermediates live, so the f32 q/kv blocks
-    # drop to 224 (448 failed to compile at T=S=2688)
+    # p/dp/ds (tile, S) f32 intermediates live, so the f32 q block
+    # drops to 224 (448 failed to compile at T=S=2688)
     bt = _pick_block(T, target=224 if f32_operands else 896)
-    bs = _pick_block(S, target=224 if f32_operands else 896)
-    if not bt or not bs:
+    if not bt:
         raise ValueError(f"unsupported seq lens T={T}, S={S}")
     sm_scale = 1.0 / math.sqrt(D)
     qf = q.reshape(B * H, T, D)
@@ -288,9 +278,11 @@ def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
     delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
                     axis=-1, keepdims=True)                  # (B*H, T, 1)
 
-    dq = pl.pallas_call(
-        functools.partial(_mha_bwd_dq_kernel, sm_scale=sm_scale),
-        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_mha_bwd_fused_kernel, sm_scale=sm_scale),
+        out_shape=[jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+                   jax.ShapeDtypeStruct((B * H, S, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B * H, S, D), jnp.float32)],
         grid=(B * H, T // bt),
         in_specs=[
             pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
@@ -300,26 +292,13 @@ def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
             pl.BlockSpec((1, bt, 1), lambda b, t: (b, t, 0)),
             pl.BlockSpec((1, bt, 1), lambda b, t: (b, t, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
-        interpret=interpret,
-    )(qf, kf, vf, dof, lse, delta)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_mha_bwd_dkv_kernel, sm_scale=sm_scale),
-        out_shape=[jax.ShapeDtypeStruct((B * H, S, D), k.dtype),
-                   jax.ShapeDtypeStruct((B * H, S, D), v.dtype)],
-        grid=(B * H, S // bs),
-        in_specs=[
-            pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0)),
-            pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0)),
-            pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((1, T, 1), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((1, T, 1), lambda b, s: (b, 0, 0)),
-        ],
-        out_specs=[pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0)),
-                   pl.BlockSpec((1, bs, D), lambda b, s: (b, s, 0))],
+        out_specs=[pl.BlockSpec((1, bt, D), lambda b, t: (b, t, 0)),
+                   pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
+                   pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(qf, kf, vf, dof, lse, delta)
     shape = (B, H, T, D), (B, H, S, D)
-    return dq.reshape(shape[0]), dk.reshape(shape[1]), dv.reshape(shape[1])
+    return (dq.reshape(shape[0]), dk.reshape(shape[1]).astype(k.dtype),
+            dv.reshape(shape[1]).astype(v.dtype))
