@@ -262,10 +262,11 @@ def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
     B, H, T, D = q.shape
     S = k.shape[2]
     f32_operands = jnp.dtype(q.dtype).itemsize >= 4
-    # f32 operands double every resident tile; the bwd also keeps
-    # p/dp/ds (tile, S) f32 intermediates live, so the f32 q block
-    # drops to 224 (448 failed to compile at T=S=2688)
-    bt = _pick_block(T, target=224 if f32_operands else 896)
+    # The fused kernel keeps p/dp/ds (bt, S) f32 tiles PLUS the
+    # resident full-S f32 dK/dV accumulator blocks in scoped VMEM:
+    # bt=896 measured 19.3M > the 16M limit at T=S=2688, bt=672 fits.
+    # f32 operands double the streamed tiles again -> 224.
+    bt = _pick_block(T, target=224 if f32_operands else 672)
     if not bt:
         raise ValueError(f"unsupported seq lens T={T}, S={S}")
     sm_scale = 1.0 / math.sqrt(D)
