@@ -264,9 +264,11 @@ def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
     f32_operands = jnp.dtype(q.dtype).itemsize >= 4
     # The fused kernel keeps p/dp/ds (bt, S) f32 tiles PLUS the
     # resident full-S f32 dK/dV accumulator blocks in scoped VMEM:
-    # bt=896 measured 19.3M > the 16M limit at T=S=2688, bt=672 fits.
-    # f32 operands double the streamed tiles again -> 224.
-    bt = _pick_block(T, target=224 if f32_operands else 672)
+    # at T=S=2688 bt=896 measured 19.3M > the 16M limit and bt=672
+    # landed at 16.1M inside the train graph (cross-attention layout) —
+    # 448 leaves real margin. f32 operands double the streamed tiles
+    # again -> 224.
+    bt = _pick_block(T, target=224 if f32_operands else 448)
     if not bt:
         raise ValueError(f"unsupported seq lens T={T}, S={S}")
     sm_scale = 1.0 / math.sqrt(D)
