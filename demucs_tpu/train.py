@@ -386,6 +386,29 @@ def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
                              remat_policy=remat_policy,
                              compute_dtype=compute_dtype)
     step_impl = make_step_impl(opt, loss, ema_decay)
+
+    def _flash_safe(fn):
+        """GSPMD has no partitioning rule for the pallas flash custom
+        call; on a >1-device mesh the sharded step traces with the
+        einsum attention instead (USE_FLASH=False for the trace only).
+        Single-device meshes and shard_map-local programs (the bag
+        path) keep flash. Deployments that want flash under a real
+        multi-chip mesh should wrap the attention in shard_map."""
+        if mesh.size <= 1:
+            return fn
+
+        def wrapped(*a, **kw):
+            from .ops import attention as A
+
+            old = A.USE_FLASH
+            A.USE_FLASH = False
+            try:
+                return fn(*a, **kw)
+            finally:
+                A.USE_FLASH = old
+
+        return wrapped
+
     if augment:
         from .data import augment_stems, mix_from_stems
 
@@ -393,12 +416,12 @@ def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
             a = augment_stems(key, stems)
             return step_impl(params, opt_state, mix_from_stems(a), a)
 
-        step_fn = jax.jit(aug_step, donate_argnums=(0, 1))
+        step_fn = jax.jit(_flash_safe(aug_step), donate_argnums=(0, 1))
 
         def place_batch(stems):
             return _put(stems, in_refs)
     else:
-        step_fn = jax.jit(step_impl, donate_argnums=(0, 1))
+        step_fn = jax.jit(_flash_safe(step_impl), donate_argnums=(0, 1))
 
         def place_batch(mix, refs):
             return (_put(mix, in_batch), _put(refs, in_refs))
