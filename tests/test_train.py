@@ -454,3 +454,18 @@ def test_train_cli_steps_per_call(capsys):
     out = capsys.readouterr()
     assert "step 4/4" in out.err
     assert "done: final loss" in out.out
+
+
+@pytest.mark.slow
+def test_train_cli_v3_family(capsys):
+    """--family hdemucs_v3 drives the v3 loss dispatch (BiLSTM +
+    LocalAttention training) through the CLI entry point."""
+    from demucs_tpu.tools.train_cli import main as train_main
+
+    rc = train_main(["--synthetic", "--steps", "2", "--batch", "1",
+                     "--segment-samples", "8192",
+                     "--family", "hdemucs_v3", "--log-every", "1"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "step 2/2" in out.err
+    assert "done: final loss" in out.out
