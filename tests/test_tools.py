@@ -269,3 +269,21 @@ def test_family_bench_smoke():
         assert report[key]["step_s"] > 0
     assert report["train_step"]["compute_dtype"] == "bf16"
     assert len(s) < 4096
+
+
+@pytest.mark.slow
+def test_bench_train_smoke(capsys):
+    """bench_train emits one JSON line per config, including the
+    scanned steps-per-call path (the adopted r4 dispatch form)."""
+    import json
+
+    from demucs_tpu.tools import bench_train
+
+    rc = bench_train.main(["--batches", "1", "--remat", "off",
+                           "--dtypes", "bf16", "--iters", "1",
+                           "--steps-per-call", "2",
+                           "--segment-samples", "16384"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["steps_per_call"] == 2 and rec["remat"] == "off"
+    assert rec["compute_dtype"] == "bf16" and rec["step_s"] > 0
