@@ -236,3 +236,29 @@ def test_cli_v3_end_to_end(tmp_path):
         stem, _ = audio.read_wav(outdir / f"target_{i}_{name}.wav")
         assert stem.shape == (2, 20000)
         assert np.isfinite(stem).all()
+
+
+@pytest.mark.slow
+def test_cli_ft_bag_fused(tmp_path):
+    """--ft-dir --fused --transfer-int16: the unrolled one-program bag
+    composed into the fused whole-track device program (one upload +
+    one selected-stem download for the whole ensemble)."""
+    cfg = HTDEMUCS_4S
+    ft_dir = tmp_path / "ft"
+    ft_dir.mkdir()
+    for i, stem in enumerate(("drums", "bass", "other", "vocals")):
+        flat = P.init_flat(P.htdemucs_schema(cfg), seed=i)
+        write_ggml(ft_dir / f"htdemucs_ft_{stem}.bin", "htdemucs_4s",
+                   flat)
+    rng = np.random.default_rng(6)
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 22000)) * 0.2)
+                    .astype(np.float32))
+    outdir = tmp_path / "out"
+    rc = main([str(wav), str(outdir), "--ft-dir", str(ft_dir),
+               "--fused", "--transfer-int16", "--batch", "2",
+               "--segment-samples", "16384"])
+    assert rc == 0
+    for i, name in enumerate(cfg.sources):
+        stem, _ = audio.read_wav(outdir / f"target_{i}_{name}.wav")
+        assert stem.shape == (2, 22000) and np.isfinite(stem).all()
