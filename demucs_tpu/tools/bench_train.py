@@ -87,6 +87,10 @@ def main(argv=None) -> int:
                     choices=["f32", "bf16"])
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--v3", action="store_true")
+    ap.add_argument("--family", choices=("htdemucs_4s", "htdemucs_6s",
+                                         "hdemucs_v3"), default=None,
+                    help="model family (--v3 is shorthand for "
+                         "hdemucs_v3)")
     ap.add_argument("--steps-per-call", type=int, default=1,
                     help="optimizer steps per dispatch (lax.scan)")
     ap.add_argument("--segment-samples", type=int, default=None)
@@ -95,15 +99,19 @@ def main(argv=None) -> int:
     from ..utils import enable_compile_cache
 
     enable_compile_cache()
-    from ..config import HDEMUCS_V3, HTDEMUCS_4S, SEGMENT_SAMPLES
+    from ..config import (HDEMUCS_V3, HTDEMUCS_4S, HTDEMUCS_6S,
+                          SEGMENT_SAMPLES)
 
-    cfg = HDEMUCS_V3 if args.v3 else HTDEMUCS_4S
+    fam = args.family or ("hdemucs_v3" if args.v3 else "htdemucs_4s")
+    cfg = {"htdemucs_4s": HTDEMUCS_4S, "htdemucs_6s": HTDEMUCS_6S,
+           "hdemucs_v3": HDEMUCS_V3}[fam]
     seg = args.segment_samples or SEGMENT_SAMPLES
 
     for dtype_name in args.dtypes:
         for remat in args.remat:
             for batch in args.batches:
-                rec = {"model": "hdemucs_mmi" if args.v3 else "htdemucs_4s",
+                rec = {"model": "hdemucs_mmi" if fam == "hdemucs_v3"
+                       else fam,
                        "batch": batch, "remat": remat,
                        "compute_dtype": dtype_name,
                        "segment_samples": seg}
