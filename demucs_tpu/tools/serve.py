@@ -9,6 +9,13 @@ Endpoints:
     GET  /health    -> {"status": "ok", "sources": [...]}
     POST /separate  -> body: WAV bytes (44.1 kHz) ->
                        application/zip of target_{i}_{stem}.wav
+    POST /stream    -> body: raw little-endian float32 interleaved
+                       stereo frames (Content-Length or chunked) ->
+                       chunked raw float32 response, each chunk =
+                       finalized frames x sources x 2 (stems emitted
+                       incrementally as audio arrives —
+                       streaming.StreamingSeparator; the low-latency
+                       surface, reference src_wasm/demucs.cpp:86-171)
 
 Usage:
     python -m demucs_tpu.tools.serve MODEL.bin [--port 8642] \
@@ -60,7 +67,88 @@ def make_handler(session, options, max_body=MAX_BODY_BYTES):
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def _iter_body(self, max_total):
+            """Yield request-body byte blocks; supports Content-Length
+            (served in ~1 s slices) and Transfer-Encoding: chunked
+            (BaseHTTPRequestHandler does not decode it for us)."""
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            total = 0
+            if "chunked" in te:
+                while True:
+                    line = self.rfile.readline(1024).strip()
+                    size = int(line.split(b";")[0] or b"0", 16)
+                    if size == 0:
+                        self.rfile.readline()  # blank after last-chunk
+                        return
+                    total += size
+                    if total > max_total:
+                        raise ValueError(f"stream exceeds {max_total} bytes")
+                    data = self.rfile.read(size)
+                    self.rfile.read(2)  # chunk CRLF
+                    yield data
+            else:
+                n = int(self.headers.get("Content-Length", 0))
+                if n > max_total:
+                    raise ValueError(f"stream exceeds {max_total} bytes")
+                step = 4 * 2 * 44100  # ~1 s of interleaved stereo f32
+                got = 0
+                while got < n:
+                    data = self.rfile.read(min(step, n - got))
+                    if not data:
+                        return
+                    got += len(data)
+                    yield data
+
+        def _do_stream(self):
+            """Chunked streaming separation: finalized stems leave as
+            audio arrives. One request holds the device for its whole
+            life (single chip; same rule as /separate)."""
+            from ..streaming import StreamingSeparator
+
+            S = len(session.sources)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("X-Sources", ",".join(session.sources))
+            self.send_header("X-Layout",
+                             "frames x sources x 2, float32 LE")
+            self.end_headers()
+
+            def emit(out):
+                if out.size == 0 or out.shape[-1] == 0:
+                    return
+                # (S, 2, n) -> (n, S, 2) frame-major so clients can
+                # consume sample frames as they land
+                b = np.ascontiguousarray(
+                    out.transpose(2, 0, 1).astype("<f4")).tobytes()
+                self.wfile.write(b"%X\r\n" % len(b) + b + b"\r\n")
+
+            with device_lock:
+                stream = StreamingSeparator(
+                    session._segment_fn, session.params, S,
+                    segment_samples=options.segment_samples,
+                    max_batch=options.batch_size)
+                leftover = b""
+                for data in self._iter_body(max_body):
+                    buf = leftover + data
+                    nf = len(buf) // 8
+                    leftover = buf[nf * 8:]
+                    if nf:
+                        frames = np.frombuffer(buf[:nf * 8],
+                                               "<f4").reshape(nf, 2)
+                        emit(stream.push(np.ascontiguousarray(frames.T)))
+                emit(stream.flush())
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_POST(self):
+            if self.path == "/stream":
+                try:
+                    self._do_stream()
+                except (ValueError, OSError) as e:
+                    # headers may already be out; just log and drop
+                    print(f"serve: /stream aborted: {e}", file=sys.stderr)
+                    self.close_connection = True
+                return
             if self.path != "/separate":
                 self._json(404, {"error": "unknown path"})
                 return

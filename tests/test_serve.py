@@ -80,3 +80,47 @@ def test_separate_rejects_garbage(server_url):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "error" in json.loads(e.read())
+
+
+def test_stream_endpoint_matches_direct_streaming(server, server_url):
+    """POST /stream with a chunked body -> chunked raw-f32 stems equal
+    to StreamingSeparator run directly on the same audio."""
+    import http.client
+
+    from demucs_tpu.streaming import StreamingSeparator
+
+    rng = np.random.default_rng(8)
+    N = 20000
+    track = (rng.standard_normal((2, N)) * 0.2).astype(np.float32)
+
+    # direct reference
+    sess = server.session
+    stream = StreamingSeparator(
+        sess._segment_fn, sess.params, len(sess.sources),
+        segment_samples=16384, max_batch=2)
+    outs = [stream.push(track)]
+    outs.append(stream.flush())
+    ref = np.concatenate([o for o in outs if o.shape[-1]], -1)
+
+    # over the socket, chunked request body (~0.1 s chunks)
+    host, port = server.server_address
+    con = http.client.HTTPConnection(host, port, timeout=300)
+    con.putrequest("POST", "/stream")
+    con.putheader("Transfer-Encoding", "chunked")
+    con.endheaders()
+    frames = np.ascontiguousarray(track.T.astype("<f4"))  # (N, 2)
+    step = 4410
+    for i in range(0, N, step):
+        b = frames[i:i + step].tobytes()
+        con.send(b"%X\r\n" % len(b) + b + b"\r\n")
+    con.send(b"0\r\n\r\n")
+    resp = con.getresponse()
+    assert resp.status == 200
+    assert resp.headers["X-Sources"] == ",".join(sess.sources)
+    body = resp.read()  # http.client de-chunks
+    con.close()
+
+    S = len(sess.sources)
+    got = np.frombuffer(body, "<f4").reshape(-1, S, 2).transpose(1, 2, 0)
+    assert got.shape == (S, 2, N)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
