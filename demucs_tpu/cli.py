@@ -204,20 +204,46 @@ def _maybe_hint_slow_link(threshold_mb_s: float = 100.0) -> None:
     """One-time host<->device link probe; on a slow link (tunneled or
     remote device) point at the transfer-bound serving config, which is
     measured 2.6x faster there (tools/bench_serving.py, CLAUDE.md).
-    Costs two ~8 MB roundtrips (~0.2 s on a 100 MB/s link)."""
+    Costs two ~8 MB roundtrips (~0.2 s on a 100 MB/s link) — ONCE per
+    device kind per day: the measured rate is cached on disk so repeat
+    CLI invocations (the exact slow-link environment the hint targets,
+    where the probe itself costs ~1 s) skip it."""
+    import json
+    import tempfile
+
     import jax
     import jax.numpy as jnp
 
     try:
-        mb = 8.0
-        buf = np.zeros(int(mb * 1e6 // 4), np.float32)
-        up = jnp.asarray(buf)          # warm-up / connection setup
-        _ = np.asarray(up)
-        t0 = time.monotonic()
-        up = jnp.asarray(buf)
-        _ = np.asarray(up)             # host fetch = completion fence
-        dt = time.monotonic() - t0
-        rate = 2 * mb / dt
+        kind = jax.devices()[0].device_kind
+        cache = Path(tempfile.gettempdir()) / "demucs_tpu_linkprobe.json"
+        rate = None
+        try:
+            entry = json.loads(cache.read_text()).get(kind)
+            if entry and time.time() - entry["t"] < 86400.0:
+                rate = entry["mb_s"]
+        except (OSError, ValueError, KeyError, TypeError):
+            pass
+        if rate is None:
+            mb = 8.0
+            buf = np.zeros(int(mb * 1e6 // 4), np.float32)
+            up = jnp.asarray(buf)          # warm-up / connection setup
+            _ = np.asarray(up)
+            t0 = time.monotonic()
+            up = jnp.asarray(buf)
+            _ = np.asarray(up)             # host fetch = completion fence
+            dt = time.monotonic() - t0
+            rate = 2 * mb / dt
+            try:
+                data = {}
+                try:
+                    data = json.loads(cache.read_text())
+                except (OSError, ValueError):
+                    pass
+                data[kind] = {"mb_s": rate, "t": time.time()}
+                cache.write_text(json.dumps(data))
+            except OSError:
+                pass
         if rate < threshold_mb_s:
             print(f"note: host<->device link measured ~{rate:.0f} MB/s; "
                   "on link-bound hosts --fused --transfer-int16 is the "

@@ -60,9 +60,12 @@ def _sdpa(Q, K, V):
     from .pallas.attention import flash_supported
 
     if _use_flash() and flash_supported(T, S):
-        from .pallas import flash_mha
-        out = flash_mha(Q.transpose(0, 2, 1, 3), K.transpose(0, 2, 1, 3),
-                        V.transpose(0, 2, 1, 3))
+        # the _p wrapper carries the custom_partitioning rule: on a
+        # mesh, GSPMD/Shardy shards batch+heads instead of fully
+        # replicating the opaque pallas custom call
+        from .pallas.attention import flash_mha_p
+        out = flash_mha_p(Q.transpose(0, 2, 1, 3), K.transpose(0, 2, 1, 3),
+                          V.transpose(0, 2, 1, 3))
         return out.transpose(0, 2, 1, 3)
     return _sdpa_einsum(Q, K, V)
 
@@ -74,11 +77,14 @@ def _sdpa_fwd(Q, K, V):
     if _use_flash() and flash_supported(T, S):
         # flash forward that also emits the per-row logsumexp: the
         # backward rebuilds P blockwise in VMEM from (Q, K, lse)
-        # instead of materializing four (B*H, T, S) f32 tensors in HBM
-        from .pallas.attention import flash_mha_fwd
-        out, lse = flash_mha_fwd(Q.transpose(0, 2, 1, 3),
-                                 K.transpose(0, 2, 1, 3),
-                                 V.transpose(0, 2, 1, 3))
+        # instead of materializing four (B*H, T, S) f32 tensors in HBM.
+        # The _p wrappers carry the custom_partitioning rules, so the
+        # sharded train step keeps flash on a >1-device mesh; lse is
+        # (B, H, T) across the wrapper boundary.
+        from .pallas.attention import flash_mha_fwd_p
+        out, lse = flash_mha_fwd_p(Q.transpose(0, 2, 1, 3),
+                                   K.transpose(0, 2, 1, 3),
+                                   V.transpose(0, 2, 1, 3))
         o = out.transpose(0, 2, 1, 3)
         return o, (Q, K, V, o, lse)
     return _sdpa_einsum(Q, K, V), (Q, K, V, None, None)
@@ -89,9 +95,9 @@ def _sdpa_bwd(res, g):
 
     Q, K, V, O, lse = res
     if lse is not None:
-        from .pallas.attention import flash_mha_bwd
+        from .pallas.attention import flash_mha_bwd_p
         tr = lambda x: x.transpose(0, 2, 1, 3)  # noqa: E731
-        dq, dk, dv = flash_mha_bwd(tr(Q), tr(K), tr(V), tr(O), lse, tr(g))
+        dq, dk, dv = flash_mha_bwd_p(tr(Q), tr(K), tr(V), tr(O), lse, tr(g))
         return tr(dq), tr(dk), tr(dv)
     D = Q.shape[-1]
     scale = 1.0 / math.sqrt(D)

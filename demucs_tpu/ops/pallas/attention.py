@@ -23,6 +23,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Interpret-mode gate for the MESH-AWARE wrappers (flash_mha_p /
+# flash_mha_fwd_p / flash_mha_bwd_p): tests on the virtual CPU mesh set
+# this True so the partitioned flash path traces+executes off-TPU. Read
+# at trace/lowering time.
+INTERPRET: bool = False
+
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, bs: int, sm_scale: float):
     """One (batch*head, T-block) program: stream all S blocks of K/V.
@@ -305,3 +311,127 @@ def flash_mha_bwd(q, k, v, o, lse, do, interpret: bool = False):
     shape = (B, H, T, D), (B, H, S, D)
     return (dq.reshape(shape[0]), dk.reshape(shape[1]).astype(k.dtype),
             dv.reshape(shape[1]).astype(v.dtype))
+
+
+# --- mesh-native wrappers ---------------------------------------------------
+#
+# A bare pallas_call lowers to an opaque custom call that GSPMD/Shardy
+# cannot partition: on a >1-device mesh the partitioner FULLY REPLICATES
+# it — every device all-gathers the whole (B*H, T, D) operands and
+# computes the entire attention redundantly (measured on the 8-device
+# CPU mesh: 15 all-gathers around one flash call). These wrappers
+# register the partitioning rule the kernel's math implies — batch and
+# head dims shard freely (programs are independent along the B*H grid
+# axis), sequence and head_dim must be replicated (softmax reduces over
+# S; D is contracted) — so the dp/tp-sharded separator and the sharded
+# train step keep flash instead of falling back to einsum attention
+# (reference hot loop src/layers.cpp:454-482).
+#
+# lse crosses the wrapper boundary as (B, H, T) so every dim carries a
+# named factor in the sharding rule (the kernels' internal (B*H, T, 1)
+# layout has a merged dim Shardy cannot attach b/h shardings to).
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
+
+
+def _bh_sharding(sharding, ndim: int):
+    """Keep the (batch, head) dim shardings, replicate the rest."""
+    spec = getattr(sharding, "spec", None)
+    if spec is None:
+        return sharding  # non-Named sharding: leave untouched
+    lead = tuple(spec[i] if i < len(spec) else None for i in range(2))
+    return NamedSharding(sharding.mesh,
+                         PartitionSpec(*lead, *(None,) * (ndim - 2)))
+
+
+def _bh_partition(local_fn):
+    """partition= callback: shard b/h per the FIRST operand (q), run the
+    local kernel on per-shard shapes."""
+
+    def partition(mesh, arg_shapes, result_shape):
+        q_sh = arg_shapes[0].sharding
+        arg_shardings = tuple(_bh_sharding(q_sh, len(a.shape))
+                              for a in arg_shapes)
+        results = jax.tree.leaves(result_shape)
+        result_shardings = jax.tree.unflatten(
+            jax.tree.structure(result_shape),
+            [_bh_sharding(q_sh, len(r.shape)) for r in results])
+        return mesh, local_fn, result_shardings, arg_shardings
+
+    return partition
+
+
+def _bh_infer(n_out: int):
+    """infer_sharding_from_operands= (GSPMD fallback; Shardy uses the
+    string rule): results follow q's b/h sharding."""
+
+    def infer(mesh, arg_shapes, result_shape):
+        q_sh = arg_shapes[0].sharding
+        results = jax.tree.leaves(result_shape)
+        shardings = [_bh_sharding(q_sh, len(r.shape)) for r in results]
+        return (jax.tree.unflatten(jax.tree.structure(result_shape),
+                                   shardings)
+                if n_out > 1 else shardings[0])
+
+    return infer
+
+
+@custom_partitioning
+def flash_mha_p(q, k, v):
+    """Partition-aware flash_mha: q (B,H,T,D), k/v (B,H,S,D) ->
+    (B,H,T,D); shards over batch/head mesh axes, replicates T/S/D."""
+    return flash_mha(q, k, v, interpret=INTERPRET)
+
+
+flash_mha_p.def_partition(
+    partition=_bh_partition(
+        lambda q, k, v: flash_mha(q, k, v, interpret=INTERPRET)),
+    infer_sharding_from_operands=_bh_infer(1),
+    sharding_rule="b h t d, b h s d, b h s d -> b h t d",
+    need_replication_factors=("t", "d", "s"),
+)
+
+
+@custom_partitioning
+def flash_mha_fwd_p(q, k, v):
+    """Partition-aware flash_mha_fwd; lse is (B, H, T) f32."""
+    out, lse = flash_mha_fwd(q, k, v, interpret=INTERPRET)
+    B, H, T, _ = q.shape
+    return out, lse.reshape(B, H, T)
+
+
+def _fwd_local(q, k, v):
+    out, lse = flash_mha_fwd(q, k, v, interpret=INTERPRET)
+    return out, lse.reshape(q.shape[0], q.shape[1], q.shape[2])
+
+
+flash_mha_fwd_p.def_partition(
+    partition=_bh_partition(_fwd_local),
+    infer_sharding_from_operands=_bh_infer(2),
+    sharding_rule="b h t d, b h s d, b h s d -> b h t d, b h t",
+    need_replication_factors=("t", "d", "s"),
+)
+
+
+@custom_partitioning
+def flash_mha_bwd_p(q, k, v, o, lse, do):
+    """Partition-aware flash_mha_bwd; lse is (B, H, T) f32."""
+    B, H, T = lse.shape
+    return flash_mha_bwd(q, k, v, o, lse.reshape(B * H, T, 1), do,
+                         interpret=INTERPRET)
+
+
+def _bwd_local(q, k, v, o, lse, do):
+    B, H, T = lse.shape
+    return flash_mha_bwd(q, k, v, o, lse.reshape(B * H, T, 1), do,
+                         interpret=INTERPRET)
+
+
+flash_mha_bwd_p.def_partition(
+    partition=_bh_partition(_bwd_local),
+    infer_sharding_from_operands=_bh_infer(3),
+    sharding_rule=("b h t d, b h s d, b h s d, b h t d, b h t, b h t d"
+                   " -> b h t d, b h s d, b h s d"),
+    need_replication_factors=("t", "d", "s"),
+)

@@ -23,4 +23,9 @@ from .sharding import (  # noqa: F401
     param_pspecs,
     replicated_pspecs,
 )
-from .separator import ShardedSeparator, make_bag_fn, make_sharded_fn  # noqa: F401
+from .separator import (  # noqa: F401
+    ShardedSeparator,
+    make_bag_fn,
+    make_bag_spmd,
+    make_sharded_fn,
+)

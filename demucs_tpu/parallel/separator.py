@@ -63,8 +63,10 @@ def make_sharded_fn(model_fn, mesh: Mesh, params, bag_stacked: bool = False):
     return fn, placed, in_sharding
 
 
-def make_bag_fn(model_fn_single, mesh: Mesh, stacked_params, select=None):
-    """BagOfModels over the ``bag`` mesh axis via explicit shard_map.
+def make_bag_spmd(model_fn_single, mesh: Mesh, stacked_params, select=None):
+    """BagOfModels over the ``bag`` mesh axis via explicit shard_map —
+    UNJITTED form, composable inside larger programs (the fused
+    whole-track program embeds it).
 
     model_fn_single(params, mix(B, C, L)) -> (B, S, C, L); stacked_params
     carry a leading models axis M (models/bag.py:stack_bag_params). Each
@@ -76,9 +78,9 @@ def make_bag_fn(model_fn_single, mesh: Mesh, stacked_params, select=None):
     itself (its grouped-conv partitioning of vmapped conv weights
     miscompiles on some backends — found on the CPU SPMD emulator, so
     the explicit shard_map is also the safer design).
-    Returns (jitted_fn, placed_params, input_sharding); the jitted fn
-    maps (params, mix) -> (B, S, C, L) after per-stem selection
-    (default: models/bag.py:bag_select, the ft convention).
+    Returns (full_fn, placed_params, input_sharding); full_fn maps
+    (params, mix) -> (B, S, C, L) after per-stem selection (default:
+    models/bag.py:bag_select, the ft convention).
     """
     from ..models.bag import bag_select, unrolled_model_map
 
@@ -108,6 +110,13 @@ def make_bag_fn(model_fn_single, mesh: Mesh, stacked_params, select=None):
         per_model = mapped(params, mix)      # (M, B, S, C, L)
         return (select or bag_select)(per_model)
 
+    return full, placed, in_sharding
+
+
+def make_bag_fn(model_fn_single, mesh: Mesh, stacked_params, select=None):
+    """Jitted make_bag_spmd: (jitted_fn, placed_params, input_sharding)."""
+    full, placed, in_sharding = make_bag_spmd(model_fn_single, mesh,
+                                              stacked_params, select)
     return jax.jit(full), placed, in_sharding
 
 
@@ -131,11 +140,6 @@ class ShardedSeparator(Separator):
         options = dataclasses.replace(
             options,
             batch_size=max(dp, math.ceil(options.batch_size / dp) * dp))
-        if options.fused_track and bag_stacked:
-            raise NotImplementedError(
-                "fused_track + the bag mesh axis is not wired up; use "
-                "the batched dp path for sharded ensembles, or "
-                "pipeline.Separator for single-device fused serving")
         self.mesh = mesh
         self.options = options
         self.num_sources = num_sources
@@ -167,11 +171,22 @@ class ShardedSeparator(Separator):
                     return inner_fn(p, m)
 
         if bag_stacked:
-            self._fn, self.params, self._in_sharding = make_bag_fn(
+            full, self.params, self._in_sharding = make_bag_spmd(
                 model_fn, mesh, params)
+            self._fn = jax.jit(full)
+            # The fused whole-track path embeds the RAW bag spmd (the
+            # fused program does its own int16 encode/decode at the
+            # track boundaries; reference premium config
+            # cli-apps/demucs_ft.cpp:221-241): one replicated upload,
+            # per-group models, device-side stem select, one download.
+            # Passing the already-placed tree makes the second
+            # placement a no-op (same shardings).
+            self._fused_inner, _, _ = make_bag_spmd(
+                self._model_fn, mesh, self.params)
         else:
             self._fn, self.params, self._in_sharding = make_sharded_fn(
                 model_fn, mesh, params)
+            self._fused_inner = self._model_fn
 
     def _place(self, host: np.ndarray):
         if jax.process_count() > 1:  # all processes see the same full track
@@ -199,5 +214,7 @@ class ShardedSeparator(Separator):
             batch = jnp.pad(batch, ((0, pad),) + ((0, 0),) * (batch.ndim - 1))
         batch = jax.lax.with_sharding_constraint(
             batch, NamedSharding(self.mesh, P("dp")))
-        out = self._model_fn(params, batch)
+        # single-model: the raw segment fn (GSPMD shards it); bag: the
+        # shard_map'd ensemble with device-side stem select
+        out = self._fused_inner(params, batch)
         return out[:out.shape[0] - pad] if pad else out

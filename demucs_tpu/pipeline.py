@@ -649,11 +649,9 @@ class SequentialBagSeparator(Separator):
         return out * ref_std + ref_mean
 
     def _dispatch_device(self, chunk):
-        devs = []
-        for tree in self._trees:
-            self.params = tree
-            devs.append(self._fn(self.params, chunk))
-        return devs
+        # pure read of the tree list — no instance-state mutation, so
+        # concurrent dispatches (a threaded server) stay correct
+        return [self._fn(tree, chunk) for tree in self._trees]
 
     def _fetch_device(self, devs, redispatch) -> np.ndarray:
         def gather(ds):

@@ -48,22 +48,35 @@ class StreamingSeparator:
                  transition_power: float = C.TRANSITION_POWER,
                  stats: tuple[float, float] | None = None,
                  stats_seconds: float = 10.0,
-                 dtype=None, max_batch: int = 8):
+                 dtype=None, max_batch: int = 8,
+                 run_batch: Callable | None = None):
         """dtype: weight/compute dtype; default bf16 on TPU (the
         serving posture DemixSession uses — CLAUDE.md perf history:
         measured equal-throughput, half the HBM), f32 elsewhere.
         max_batch: ready segments per device call — a push spanning
         several strides (and every flush) batches its segments into
         one call instead of one call each (≈ the offline batched rate
-        instead of the batch-1 rate)."""
-        if dtype is None:
-            dtype = (jnp.bfloat16
-                     if jax.devices()[0].platform == "tpu" else jnp.float32)
-        self._fn = jax.jit(model_fn)
-        self.params = jax.tree.map(
-            lambda x: jnp.asarray(x, dtype)
-            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
-            else jnp.asarray(x), params)
+        instead of the batch-1 rate).
+        run_batch: optional (n, C, seg) f32 -> (n, S, C, seg) f32
+        device hook. When set, model_fn/params/dtype are unused and
+        this instance holds NO device state — the server passes a
+        service.DeviceFeeder bound method here so many concurrent
+        streams (and /separate requests) share batched device calls."""
+        if run_batch is not None:
+            self._run_batch = run_batch
+            self._fn = None
+            self.params = None
+        else:
+            self._run_batch = None
+            if dtype is None:
+                dtype = (jnp.bfloat16
+                         if jax.devices()[0].platform == "tpu"
+                         else jnp.float32)
+            self._fn = jax.jit(model_fn)
+            self.params = jax.tree.map(
+                lambda x: jnp.asarray(x, dtype)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                else jnp.asarray(x), params)
         self.num_sources = num_sources
         self.segment = int(segment_samples)
         self.stride = int((1 - overlap) * self.segment)
@@ -127,6 +140,9 @@ class StreamingSeparator:
         for i, (raw, left) in enumerate(segs):
             x = (raw - mean) / std
             batch[i, :, left:left + x.shape[-1]] = x
+        if self._run_batch is not None:
+            out = np.asarray(self._run_batch(batch)).astype(np.float32)
+            return out * std + mean
         outs = []
         for i in range(0, n, self.max_batch):
             chunk = batch[i:i + self.max_batch]

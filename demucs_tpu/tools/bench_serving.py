@@ -37,6 +37,12 @@ def main(argv=None) -> int:
     ap.add_argument("--fused", action="store_true",
                     help="fused whole-track device program (on-device "
                          "split + overlap-add; one up/down per track)")
+    ap.add_argument("--concurrent", type=int, default=0,
+                    help="N: also measure N SIMULTANEOUS HTTP uploads "
+                         "against the batched (non-fused) server — "
+                         "concurrent requests share device batches via "
+                         "the feeder (service.DeviceFeeder); reports "
+                         "serial vs concurrent wall time")
     args = ap.parse_args(argv)
 
     from ..utils import enable_compile_cache
@@ -165,6 +171,71 @@ def main(argv=None) -> int:
                 "mode": "http_request", "track_secs": args.track_secs,
                 "wall_s": round(dt, 3),
                 "audio_s_per_s": round(args.track_secs / dt, 1),
+            }))
+
+    if args.concurrent > 1:
+        import threading
+        import urllib.request
+
+        from .. import audio as A
+        from ..params.ggml import write_ggml
+        from ..params.tree import flatten_tree
+        import tempfile
+
+        N = args.concurrent
+        with tempfile.TemporaryDirectory() as td:
+            model_path = f"{td}/model.bin"
+            write_ggml(model_path, "htdemucs_4s",
+                       {k: np.asarray(v, np.float32)
+                        for k, v in flatten_tree(tree).items()})
+            from .serve import make_server
+
+            # non-fused: concurrent requests' segments share feeder
+            # batches (the continuous-batching path under test)
+            srv = make_server(model_path, port=0, batch=args.batch,
+                              fused=False)
+            port = srv.server_address[1]
+            th = threading.Thread(target=srv.serve_forever, daemon=True)
+            th.start()
+            bodies = []
+            for i in range(N):
+                wav_path = f"{td}/in{i}.wav"
+                A.write_wav(wav_path, tracks[i % len(tracks)])
+                bodies.append(open(wav_path, "rb").read())
+
+            def request(i):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/separate", data=bodies[i],
+                    headers={"Content-Type": "audio/wav"})
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    r.read()
+
+            request(0)  # warm-up/compile
+            t0 = time.perf_counter()
+            for i in range(N):
+                request(i)
+            dt_serial = time.perf_counter() - t0
+
+            calls0 = srv.feeder.stats["device_calls"]
+            threads = [threading.Thread(target=request, args=(i,))
+                       for i in range(N)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt_conc = time.perf_counter() - t0
+            calls = srv.feeder.stats["device_calls"] - calls0
+            srv.shutdown()
+            total = N * args.track_secs
+            print(json.dumps({
+                "mode": "http_concurrent", "concurrent": N,
+                "track_secs": args.track_secs,
+                "serial_wall_s": round(dt_serial, 3),
+                "concurrent_wall_s": round(dt_conc, 3),
+                "speedup": round(dt_serial / dt_conc, 2),
+                "device_calls_concurrent": calls,
+                "audio_s_per_s": round(total / dt_conc, 1),
             }))
     return 0
 

@@ -5,6 +5,16 @@ The network-facing analog of the reference's WASM worker boundary
 worker): weights stay resident, programs stay compiled, each request is
 one track. Stdlib-only (http.server + zipfile).
 
+Concurrency model (reference anchor
+cli-apps/threaded_inference.hpp:29-193 — the reference's parallelism is
+a thread per track; the TPU translation is batching, not locking): a
+single service.DeviceFeeder thread owns the chip. Concurrent /separate
+and /stream requests submit segments that are assembled into shared
+``batch_size`` device calls, so N concurrent uploads cost ~one batched
+run, and a slow /stream client never blocks other requests (its
+handler thread holds no device resource between chunks). Fused
+whole-track programs run as exclusive FIFO items on the same queue.
+
 Endpoints:
     GET  /health    -> {"status": "ok", "sources": [...]}
     POST /separate  -> body: WAV bytes (44.1 kHz) ->
@@ -15,7 +25,13 @@ Endpoints:
                        finalized frames x sources x 2 (stems emitted
                        incrementally as audio arrives —
                        streaming.StreamingSeparator; the low-latency
-                       surface, reference src_wasm/demucs.cpp:86-171)
+                       surface, reference src_wasm/demucs.cpp:86-171).
+                       Clients MUST read the response concurrently
+                       with uploading: stems stream back while audio
+                       is still arriving, and a client that uploads
+                       everything before reading can deadlock itself
+                       once both socket buffers fill (the server side
+                       guards itself with a socket timeout).
 
 Usage:
     python -m demucs_tpu.tools.serve MODEL.bin [--port 8642] \
@@ -25,11 +41,11 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import io
 import json
 import sys
 import tempfile
-import threading
 import zipfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -40,15 +56,15 @@ import numpy as np
 MAX_BODY_BYTES = 256 * 1024 * 1024  # ~50 min of stereo f32 wav
 
 
-def make_handler(session, options, max_body=MAX_BODY_BYTES):
+def make_handler(session, options, feeder, max_body=MAX_BODY_BYTES):
     from .. import audio
 
-    # ONE device user at a time: concurrent jit/execution on the single
-    # chip races the session's separator cache and can wedge tunneled
-    # TPU backends (FAILED_PRECONDITION; see CLAUDE.md).
-    device_lock = threading.Lock()
-
     class Handler(BaseHTTPRequestHandler):
+        # socket-op timeout: a stalled client (not reading its chunked
+        # response, or not sending its body) kills only its own handler
+        # thread — the device feeder is never blocked on a socket
+        timeout = 600
+
         def log_message(self, fmt, *a):  # route to stderr, not stdout
             print("serve:", fmt % a, file=sys.stderr)
 
@@ -63,7 +79,8 @@ def make_handler(session, options, max_body=MAX_BODY_BYTES):
         def do_GET(self):
             if self.path == "/health":
                 self._json(200, {"status": "ok",
-                                 "sources": list(session.sources)})
+                                 "sources": list(session.sources),
+                                 "feeder": dict(feeder.stats)})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -101,8 +118,9 @@ def make_handler(session, options, max_body=MAX_BODY_BYTES):
 
         def _do_stream(self):
             """Chunked streaming separation: finalized stems leave as
-            audio arrives. One request holds the device for its whole
-            life (single chip; same rule as /separate)."""
+            audio arrives. Device calls go through the shared feeder
+            (this session's segments batch WITH other requests'), so a
+            stream holds no device resource between chunks."""
             from ..streaming import StreamingSeparator
 
             S = len(session.sources)
@@ -123,21 +141,24 @@ def make_handler(session, options, max_body=MAX_BODY_BYTES):
                     out.transpose(2, 0, 1).astype("<f4")).tobytes()
                 self.wfile.write(b"%X\r\n" % len(b) + b + b"\r\n")
 
-            with device_lock:
-                stream = StreamingSeparator(
-                    session._segment_fn, session.params, S,
-                    segment_samples=options.segment_samples,
-                    max_batch=options.batch_size)
-                leftover = b""
-                for data in self._iter_body(max_body):
-                    buf = leftover + data
-                    nf = len(buf) // 8
-                    leftover = buf[nf * 8:]
-                    if nf:
-                        frames = np.frombuffer(buf[:nf * 8],
-                                               "<f4").reshape(nf, 2)
-                        emit(stream.push(np.ascontiguousarray(frames.T)))
-                emit(stream.flush())
+            # stateless-on-device: run_batch routes every segment
+            # through the feeder's shared batches (same compiled
+            # program — and thus the same numerics — as /separate's
+            # batched path)
+            stream = StreamingSeparator(
+                None, None, S,
+                segment_samples=options.segment_samples,
+                run_batch=lambda b: feeder.submit_segments(b).result())
+            leftover = b""
+            for data in self._iter_body(max_body):
+                buf = leftover + data
+                nf = len(buf) // 8
+                leftover = buf[nf * 8:]
+                if nf:
+                    frames = np.frombuffer(buf[:nf * 8],
+                                           "<f4").reshape(nf, 2)
+                    emit(stream.push(np.ascontiguousarray(frames.T)))
+            emit(stream.flush())
             self.wfile.write(b"0\r\n\r\n")
 
         def do_POST(self):
@@ -159,8 +180,7 @@ def make_handler(session, options, max_body=MAX_BODY_BYTES):
                 return
             if n > max_body:
                 # refuse before reading: ThreadingHTTPServer would hold
-                # every oversized body in RAM while serialized behind
-                # the device lock
+                # every oversized body in RAM
                 self._json(413, {"error": f"body {n} bytes exceeds "
                                           f"limit {max_body}"})
                 return
@@ -170,8 +190,17 @@ def make_handler(session, options, max_body=MAX_BODY_BYTES):
                     f.write(raw)
                     f.flush()
                     track = audio.load_track(f.name)
-                with device_lock:
-                    stems = session.demix_track(track, options)
+                if options.fused_track:
+                    # transfer-optimal whole-track program: one
+                    # exclusive FIFO device item (not a lifetime lock —
+                    # concurrent streams interleave between tracks)
+                    stems = feeder.run_exclusive(
+                        lambda: session.demix_track(track, options)
+                    ).result()
+                else:
+                    # batched path: this track's segments share device
+                    # batches with every other in-flight request
+                    stems = feeder.separate(track)
             except (ValueError, OSError) as e:
                 self._json(400, {"error": str(e)})
                 return
@@ -210,6 +239,7 @@ def make_server(model_path, port=0, segment_samples=None, batch=8,
     warms the buckets for the given track lengths at startup so the
     first request never pays a tunnel compile (minutes)."""
     from ..pipeline import ApplyOptions
+    from ..service import DeviceFeeder
     from ..serving import DemixSession
 
     from ..utils import enable_compile_cache
@@ -236,9 +266,16 @@ def make_server(model_path, port=0, segment_samples=None, batch=8,
             sep.warmup([int(float(s) * SAMPLE_RATE)])
         print(f"serve: {len(sep._fused_cache)} fused program(s) ready",
               file=sys.stderr)
+    # the feeder drives the BATCHED segment program (shared by /stream
+    # and non-fused /separate); fused tracks run as exclusive items
+    batch_sep = session._separator(
+        dataclasses.replace(options, fused_track=False,
+                            fused_buckets="exact"))
+    feeder = DeviceFeeder(batch_sep)
     srv = ThreadingHTTPServer(("127.0.0.1", port),
-                              make_handler(session, options))
+                              make_handler(session, options, feeder))
     srv.session, srv.separator = session, sep  # introspection/tests
+    srv.feeder = feeder
     return srv
 
 
@@ -252,8 +289,10 @@ def main(argv=None) -> int:
                     help="bit-exact f32 stem transfers + f32 WAV "
                          "responses (2x the bytes of the int16 default)")
     ap.add_argument("--no-fused", action="store_true",
-                    help="use the host-side batched path instead of the "
-                         "fused whole-track device program")
+                    help="use the batched path for /separate — with "
+                         "concurrent clients their segments share "
+                         "device batches (continuous batching) instead "
+                         "of per-track fused programs")
     ap.add_argument("--precompile", default="",
                     help="comma-separated track lengths in SECONDS to "
                          "precompile fused buckets for at startup "

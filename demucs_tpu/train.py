@@ -316,7 +316,15 @@ def load_train_state(path, params_like,
         try:
             has_ema = "ema" in ckptr.metadata(path).item_metadata
         except Exception:  # orbax versions with a different metadata API
-            has_ema = False
+            # structural fallback: StandardCheckpointer lays each top-
+            # level item out as a subdirectory — never silently drop a
+            # saved EMA tree just because the metadata API moved
+            has_ema = (path / "ema").exists()
+            import sys
+
+            print(f"train: checkpoint metadata lookup failed at {path}; "
+                  f"detected EMA slot structurally: {has_ema}",
+                  file=sys.stderr)
         if has_ema:
             target["ema"] = dict(flat_like)
         state = ckptr.restore(path, target)
@@ -387,28 +395,11 @@ def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
                              compute_dtype=compute_dtype)
     step_impl = make_step_impl(opt, loss, ema_decay)
 
-    def _flash_safe(fn):
-        """GSPMD has no partitioning rule for the pallas flash custom
-        call; on a >1-device mesh the sharded step traces with the
-        einsum attention instead (USE_FLASH=False for the trace only).
-        Single-device meshes and shard_map-local programs (the bag
-        path) keep flash. Deployments that want flash under a real
-        multi-chip mesh should wrap the attention in shard_map."""
-        if mesh.size <= 1:
-            return fn
-
-        def wrapped(*a, **kw):
-            from .ops import attention as A
-
-            old = A.USE_FLASH
-            A.USE_FLASH = False
-            try:
-                return fn(*a, **kw)
-            finally:
-                A.USE_FLASH = old
-
-        return wrapped
-
+    # flash attention stays ON under the mesh: the pallas kernels carry
+    # custom_partitioning rules (ops/pallas/attention.py flash_*_p) that
+    # shard the batch/head grid axes, so the fused flash backward's
+    # +31% survives multi-chip training (the r4 _flash_safe einsum
+    # fallback is gone).
     if augment:
         from .data import augment_stems, mix_from_stems
 
@@ -416,12 +407,12 @@ def make_sharded_train_step(mesh, cfg: HTDemucsConfig,
             a = augment_stems(key, stems)
             return step_impl(params, opt_state, mix_from_stems(a), a)
 
-        step_fn = jax.jit(_flash_safe(aug_step), donate_argnums=(0, 1))
+        step_fn = jax.jit(aug_step, donate_argnums=(0, 1))
 
         def place_batch(stems):
             return _put(stems, in_refs)
     else:
-        step_fn = jax.jit(_flash_safe(step_impl), donate_argnums=(0, 1))
+        step_fn = jax.jit(step_impl, donate_argnums=(0, 1))
 
         def place_batch(mix, refs):
             return (_put(mix, in_batch), _put(refs, in_refs))

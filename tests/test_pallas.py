@@ -197,18 +197,14 @@ def test_sdpa_flash_vjp_matches_einsum_vjp():
         return jnp.sum(jnp.abs(A._sdpa(q, k, v)))
 
     g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    import demucs_tpu.ops.pallas.attention as PA
     old = A.USE_FLASH
     A.USE_FLASH = True
+    PA.INTERPRET = True
     try:
-        import demucs_tpu.ops.pallas.attention as PA
-        orig_fwd, orig_bwd = PA.flash_mha_fwd, PA.flash_mha_bwd
-        PA.flash_mha_fwd = lambda *a, **kw: orig_fwd(*a, interpret=True)
-        PA.flash_mha_bwd = lambda *a, **kw: orig_bwd(*a, interpret=True)
-        try:
-            g_fl = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
-        finally:
-            PA.flash_mha_fwd, PA.flash_mha_bwd = orig_fwd, orig_bwd
+        g_fl = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     finally:
         A.USE_FLASH = old
+        PA.INTERPRET = False
     for a, b in zip(g_ref, g_fl):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)

@@ -152,6 +152,48 @@ def test_sharded_separator_fused_matches_batched():
     np.testing.assert_allclose(fused, ref, atol=3e-5)
 
 
+def test_sharded_bag_fused_matches_batched():
+    """fused_track + bag_stacked (the reference's premium ft-ensemble
+    config, cli-apps/demucs_ft.cpp:221-241, as ONE whole-track device
+    program over the bag mesh): must equal the batched bag path —
+    r4's NotImplementedError gate is gone."""
+    import dataclasses
+
+    def positional(params, mix):
+        B, C, T = mix.shape
+        ramp = 0.5 + jnp.arange(T, dtype=jnp.float32) / (2 * T)
+        # gains < 1: stems must fit the int16 transfer's 8-sigma
+        # headroom, where sigma is the MONO-reference std (real stems
+        # are mix components and always do; an amplifying toy doesn't)
+        base = jnp.stack([mix * ramp * params["w"] * (0.6 + 0.1 * i)
+                          for i in range(4)], axis=1)
+        return base  # (B, S=4, C, T)
+
+    trees = [{"w": np.float32(0.6 + 0.1 * m)} for m in range(4)]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal((2, 30011)) * 0.3).astype(np.float32)
+    opts = ApplyOptions(segment_samples=4096, batch_size=4, shift_offset=55,
+                        max_shift_secs=0.02)
+    mesh = make_mesh(bag=4)  # bag=4, dp=2
+    ref = ShardedSeparator(positional, stacked, 4, mesh, opts,
+                           bag_stacked=True)(audio)
+    fused = ShardedSeparator(
+        positional, stacked, 4, mesh,
+        dataclasses.replace(opts, fused_track=True),
+        bag_stacked=True)(audio)
+    assert fused.shape == ref.shape == (4, 2, 30011)
+    np.testing.assert_allclose(fused, ref, atol=3e-5)
+
+    # int16 transfer composes with the fused bag program
+    fused16 = ShardedSeparator(
+        positional, stacked, 4, mesh,
+        dataclasses.replace(opts, fused_track=True, transfer_int16=True),
+        bag_stacked=True)(audio)
+    np.testing.assert_allclose(fused16, ref, atol=2e-3)
+
+
 def test_sharded_separator_does_not_mutate_options():
     opts = ApplyOptions(segment_samples=4096, batch_size=3)
     mesh = make_mesh()

@@ -164,6 +164,51 @@ def test_sequential_bag_matches_vmapped_bag():
     np.testing.assert_allclose(out_seq, ref, atol=1e-5)
 
 
+def test_sequential_bag_concurrent_dispatch_reentrant():
+    """_dispatch_device must not mutate instance state: concurrent
+    dispatches from server threads have to see consistent per-model
+    params (the r4 implementation reassigned self.params per model)."""
+    import threading
+
+    from demucs_tpu.pipeline import SequentialBagSeparator
+
+    def model(params, mix):
+        return jnp.stack([mix * params["w"] * (i + 1) for i in range(4)],
+                         axis=1)
+
+    trees = [{"w": jnp.asarray(float(m + 1))} for m in range(4)]
+    opts = ApplyOptions(segment_samples=4096, batch_size=2, shift_offset=0)
+    sep = SequentialBagSeparator(model, trees, 4, opts)
+
+    rng = np.random.default_rng(7)
+    chunks = [jnp.asarray(rng.standard_normal((2, 2, 4096))
+                          .astype(np.float32)) for _ in range(6)]
+    expect = [np.asarray(sep._fetch_device(sep._dispatch_device(c), None))
+              for c in chunks]
+
+    results = [None] * len(chunks)
+    errs = []
+
+    def worker(i):
+        try:
+            devs = sep._dispatch_device(chunks[i])
+            results[i] = np.asarray(sep._fetch_device(devs, None))
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(chunks))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for got, ref in zip(results, expect):
+        np.testing.assert_allclose(got, ref, atol=0)
+    # params untouched by dispatch (the r4 bug left the LAST tree here)
+    assert float(sep.params["w"]) == float(sep._trees[0]["w"]) == 1.0
+
+
 def test_pipelined_transfer_matches_serial():
     """pipeline_depth > 1 (async dispatch-ahead) must be bit-identical
     to the serial path — only the dispatch/fetch interleaving changes."""

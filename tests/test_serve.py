@@ -123,4 +123,130 @@ def test_stream_endpoint_matches_direct_streaming(server, server_url):
     S = len(sess.sources)
     got = np.frombuffer(body, "<f4").reshape(-1, S, 2).transpose(1, 2, 0)
     assert got.shape == (S, 2, N)
-    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # the endpoint now rides the shared feeder batches, which carry the
+    # server's int16 device-transfer posture (quant step 2.4e-4 in the
+    # normalized domain) — the direct reference here is f32
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_stream_does_not_block_separate(server, server_url, tmp_path):
+    """A /stream session that is mid-track (chunks pending, body not
+    finished) must NOT serialize /separate behind it — the r4 server
+    held one device lock for the stream's whole life."""
+    import http.client
+
+    rng = np.random.default_rng(11)
+    N = 20000
+    track = (rng.standard_normal((2, N)) * 0.2).astype(np.float32)
+
+    host, port = server.server_address
+    con = http.client.HTTPConnection(host, port, timeout=300)
+    con.putrequest("POST", "/stream")
+    con.putheader("Transfer-Encoding", "chunked")
+    con.endheaders()
+    frames = np.ascontiguousarray(track.T.astype("<f4"))
+    # send ENOUGH for one segment (16384) so the stream has already
+    # used the device, then leave the request open
+    b = frames[:17000].tobytes()
+    con.send(b"%X\r\n" % len(b) + b + b"\r\n")
+
+    # concurrent /separate must complete while the stream is open
+    wav = tmp_path / "c.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 20000)) * 0.2)
+                    .astype(np.float32))
+    req = urllib.request.Request(f"{server_url}/separate",
+                                 data=wav.read_bytes(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+
+    # finish the stream cleanly
+    b = frames[17000:].tobytes()
+    con.send(b"%X\r\n" % len(b) + b + b"\r\n")
+    con.send(b"0\r\n\r\n")
+    resp = con.getresponse()
+    assert resp.status == 200
+    body = resp.read()
+    con.close()
+    S = len(server.session.sources)
+    got = np.frombuffer(body, "<f4").reshape(-1, S, 2)
+    assert got.shape[0] == N and np.isfinite(got).all()
+
+
+@pytest.fixture(scope="module")
+def batched_server(tmp_path_factory):
+    """Non-fused server: concurrent /separate requests share device
+    batches through the feeder (continuous batching)."""
+    tmp = tmp_path_factory.mktemp("srv_batched")
+    flat = P.init_flat(P.htdemucs_schema(HTDEMUCS_4S), seed=0)
+    model = tmp / "m.bin"
+    write_ggml(model, "htdemucs_4s", flat)
+    srv = make_server(str(model), port=0, segment_samples=16384, batch=4,
+                      fused=False)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_concurrent_separates_share_batches(batched_server, tmp_path):
+    """N concurrent uploads: correct per-request stems AND the feeder
+    assembled cross-request batches (fewer device calls than the
+    serial per-request count)."""
+    url = f"http://127.0.0.1:{batched_server.server_address[1]}"
+    rng = np.random.default_rng(12)
+    tracks = [(rng.standard_normal((2, 20000)) * 0.2).astype(np.float32)
+              for _ in range(4)]
+    payloads = []
+    for i, tr in enumerate(tracks):
+        wav = tmp_path / f"t{i}.wav"
+        audio.write_wav(wav, tr)
+        payloads.append(wav.read_bytes())
+
+    calls_before = batched_server.feeder.stats["device_calls"]
+    results = [None] * len(tracks)
+    errs = []
+
+    def post(i):
+        try:
+            req = urllib.request.Request(f"{url}/separate",
+                                         data=payloads[i], method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                results[i] = r.read()
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=post, args=(i,))
+               for i in range(len(tracks))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # each 20000-sample track at segment 16384 yields 2 segments; with
+    # batch=4, 4 concurrent tracks = 8 segments = 2 full batches when
+    # shared; the serial path would use 4 calls (one padded batch per
+    # request). <=3 proves at least one cross-request batch happened
+    # (the first request may run alone while the others are in flight).
+    calls = batched_server.feeder.stats["device_calls"] - calls_before
+    assert calls <= 3, calls
+    assert batched_server.feeder.stats["segments"] >= 8
+
+    # every request got its own correct stems (route-back check):
+    # compare against a direct library separation of the same track
+    from demucs_tpu.pipeline import ApplyOptions
+
+    sess = batched_server.session
+    opts = ApplyOptions(batch_size=4, transfer_int16=True,
+                        ).with_segment(16384)
+    for tr, blob in zip(tracks, results):
+        ref = sess.demix_track(tr, opts)
+        with zipfile.ZipFile(io.BytesIO(blob)) as z:
+            name = sorted(z.namelist())[0]  # target_0_drums.wav
+            with z.open(name) as f:
+                data = f.read()
+        p = tmp_path / "chk.wav"
+        p.write_bytes(data)
+        stem, rate = audio.read_wav(p)
+        assert rate == 44100 and stem.shape == tr.shape
+        # PCM16 response grid + int16 transfer: compare coarsely
+        np.testing.assert_allclose(stem, ref[0], atol=2e-3)
