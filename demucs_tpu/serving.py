@@ -97,10 +97,48 @@ class DemixSession:
         exported = jexport.export(jax.jit(self._segment_fn))(p_abs, mix_abs)
         return bytes(exported.serialize())
 
+    def export_track_program(self, track_samples: int,
+                             batch_size: int = 8,
+                             segment_samples: int | None = None) -> bytes:
+        """AOT-export the FUSED whole-track program — split + segment
+        graph + weighted overlap-add all ON DEVICE (the serving path) —
+        as serialized StableHLO.
+
+        The artifact maps (params, track (2, Lp) f32, n_true i32) ->
+        (S, 2, Lp) stems of the NORMALIZED track, where
+        Lp = ceil(track_samples / stride) * stride. It is exact for any
+        true length n_true in (Lp - stride, Lp]; the caller's only host
+        math is the affine normalize/denormalize by the track's mono
+        mean/std, zero-padding up to Lp, and the final [:n_true] slice
+        (pipeline.Separator._normalize_shift). The shift trick is
+        disabled so the artifact is deterministic and self-contained.
+        Counterpart of the reference WASM port's whole-pipeline deploy
+        (src_wasm/demucs.cpp:86-171 runs demucs_inference end to end).
+        """
+        import math
+
+        from jax import export as jexport
+
+        opts = ApplyOptions(batch_size=batch_size, fused_track=True,
+                            max_shift_secs=0.0, shift_offset=0,
+                            ).with_segment(segment_samples)
+        sep = self._separator(opts)
+        o = sep.options
+        stride = int((1 - o.overlap) * o.segment_samples)
+        n_seg = max(1, math.ceil(track_samples / stride))
+        Lp = n_seg * stride
+        fn = sep._fused_track_fn(n_seg, Lp)
+        p_abs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
+        x_abs = jax.ShapeDtypeStruct((2, Lp), jnp.float32)
+        n_abs = jax.ShapeDtypeStruct((), jnp.int32)
+        exported = jexport.export(fn)(p_abs, x_abs, n_abs)
+        return bytes(exported.serialize())
+
     @staticmethod
     def load_exported(blob: bytes):
-        """Deserialize an export_program() artifact -> callable
-        (params, mix) -> stems."""
+        """Deserialize an export_program() / export_track_program()
+        artifact -> callable (params, ...) -> stems."""
         from jax import export as jexport
 
         return jexport.deserialize(blob).call

@@ -106,6 +106,20 @@ def main(argv=None) -> int:
                          "in the checkpoint; exported by --export-ggml)")
     ap.add_argument("--ckpt", help="checkpoint dir (Orbax)")
     ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="evaluate the EMA (or current) weights on "
+                         "held-out tracks every N steps: valid-set L1 "
+                         "per stem, logged to stderr and (with --ckpt) "
+                         "to CKPT.eval.jsonl; tracks best-so-far and "
+                         "keeps a CKPT.best checkpoint (upstream demucs "
+                         "evaluates the EMA weights — train.py:195)")
+    ap.add_argument("--eval-data",
+                    help="dir of held-out MUSDB-layout track dirs "
+                         "(default with --synthetic: a held-out "
+                         "synthetic track)")
+    ap.add_argument("--eval-sdr", action="store_true",
+                    help="also report per-stem SDR (median over 1 s "
+                         "frames, tools/evaluate_sdr.py) at each eval")
     ap.add_argument("--resume", action="store_true",
                     help="resume params/opt/step/EMA from --ckpt")
     ap.add_argument("--export-ggml", dest="export_ggml",
@@ -137,6 +151,11 @@ def main(argv=None) -> int:
             ap.error("--steps-per-call > 1 is single-host only")
         if args.save_every % args.steps_per_call:
             ap.error("--save-every must be a multiple of --steps-per-call")
+    if args.eval_every:
+        if not (args.eval_data or args.synthetic):
+            ap.error("--eval-every needs --eval-data (or --synthetic)")
+        if args.steps_per_call > 1 and args.eval_every % args.steps_per_call:
+            ap.error("--eval-every must be a multiple of --steps-per-call")
 
     from ..utils import enable_compile_cache
 
@@ -202,6 +221,26 @@ def main(argv=None) -> int:
     # every process samples the same global batch from the same seed;
     # in multi-host mode place_batch slices out each host's dp shard
     sampler = SegmentSampler(tracks, seg, seed=args.seed)
+
+    # --- held-out evaluation set -------------------------------------
+    eval_tracks: list[np.ndarray] = []
+    if args.eval_every:
+        if args.eval_data:
+            eroot = Path(args.eval_data)
+            edirs = sorted(d for d in eroot.iterdir() if d.is_dir())
+            if not edirs:
+                print(f"error: no track dirs in {eroot}", file=sys.stderr)
+                return 1
+            eval_tracks = [load_musdb_track(d, stems=cfg.sources)
+                           for d in edirs]
+        else:  # --synthetic: one held-out synthetic track
+            ev_rng = np.random.default_rng(args.seed + 10_000)
+            eval_tracks = [(ev_rng.standard_normal(
+                (cfg.num_sources, 2, 2 * seg + 1001)) * 0.05
+                ).astype(np.float32)]
+        if is_lead:
+            print(f"eval set: {len(eval_tracks)} held-out track(s)",
+                  file=sys.stderr)
 
     # --- step --------------------------------------------------------
     opt = optax.adam(args.lr)
@@ -297,6 +336,83 @@ def main(argv=None) -> int:
         if is_lead:
             print(f"checkpointed at step {step_no}", file=sys.stderr)
 
+    # --- evaluation loop ---------------------------------------------
+    # Scores the EMA weights when --ema is on (the upstream-demucs
+    # convention: the shipped hub checkpoints ARE the EMA artifacts),
+    # else the live params. Every process evaluates deterministically
+    # (same replicated weights, same data) so the best-checkpoint save
+    # stays a consistent collective in multi-host mode.
+    from ..models import hdemucs_v3_segment, htdemucs_segment
+    from ..config import HDemucsV3Config
+    from ..pipeline import ApplyOptions, Separator
+
+    seg_fn = (hdemucs_v3_segment if isinstance(cfg, HDemucsV3Config)
+              else htdemucs_segment)
+    best = {"l1": float("inf"), "step": -1}
+    eval_log = (Path(str(args.ckpt) + ".eval.jsonl")
+                if args.ckpt and is_lead else None)
+    eval_cache: dict = {}  # one Separator => one jit cache across evals
+
+    def evaluate(step_no) -> None:
+        import json
+
+        _, e = split_state(opt_state)
+        weights = e if e is not None else params
+        if multihost:
+            weights = _replicate_to_host(weights, mesh)
+        sep = eval_cache.get("sep")
+        if sep is None:
+            sep = Separator(lambda p, m: seg_fn(p, m, cfg), weights,
+                            cfg.num_sources,
+                            ApplyOptions(segment_samples=seg,
+                                         shift_offset=0,
+                                         batch_size=args.batch))
+            eval_cache["sep"] = sep
+        else:  # swap weights, keep the compiled programs
+            import jax.numpy as _jnp
+
+            sep.params = jax.tree.map(_jnp.asarray, weights)
+        l1s, sdrs = [], []
+        for stems in eval_tracks:
+            mix = stems.sum(0)
+            est = sep(mix)
+            l1s.append(float(np.mean(np.abs(est - stems))))
+            if args.eval_sdr:
+                from .evaluate_sdr import median_sdr
+
+                sdrs.append([median_sdr(stems[i], est[i])
+                             for i in range(cfg.num_sources)])
+        l1 = float(np.mean(l1s))
+        rec = {"step": step_no, "l1": l1,
+               "weights": "ema" if e is not None else "params"}
+        if sdrs:
+            rec["sdr"] = {name: round(float(np.mean([s[i] for s in sdrs])), 3)
+                          for i, name in enumerate(cfg.sources)}
+        improved = l1 < best["l1"]
+        if improved:
+            best.update(l1=l1, step=step_no)
+            rec["best"] = True
+            if args.ckpt:
+                o, e2 = split_state(opt_state)
+                if multihost:
+                    save_train_state(
+                        str(args.ckpt) + ".best",
+                        _replicate_to_host(params, mesh),
+                        _replicate_to_host(o, mesh), step_no,
+                        ema=_replicate_to_host(e2, mesh)
+                        if e2 is not None else None)
+                else:
+                    save_train_state(str(args.ckpt) + ".best", params, o,
+                                     step_no, ema=e2)
+        if is_lead:
+            extra = f"  sdr {rec.get('sdr')}" if sdrs else ""
+            mark = "  (best)" if improved else ""
+            print(f"eval @ step {step_no}: l1 {l1:.5f}{extra}{mark}",
+                  file=sys.stderr)
+            if eval_log is not None:
+                with open(eval_log, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+
     K = args.steps_per_call
     if K > 1 and start < args.steps and (args.steps - start) % K:
         ap.error(f"--steps-per-call {K} must divide the remaining "
@@ -325,6 +441,8 @@ def main(argv=None) -> int:
             if is_lead:
                 print(f"step {step}/{args.steps}  loss {loss:.5f}  "
                       f"{rate:.1f} audio-s/s", file=sys.stderr)
+        if args.eval_every and step % args.eval_every < K:
+            evaluate(step)
         if args.ckpt and step % args.save_every == 0 \
                 and step != args.steps:
             do_save(step)
@@ -332,10 +450,16 @@ def main(argv=None) -> int:
         print(f"nothing to do: resumed step {start} >= --steps "
               f"{args.steps}; checkpoint left untouched", file=sys.stderr)
         return 0
+    if args.eval_every and args.steps % args.eval_every:
+        evaluate(args.steps)  # close the curve at the final step
     if args.ckpt:
         do_save(args.steps)
         if is_lead:
             print(f"final checkpoint at {args.ckpt}", file=sys.stderr)
+            if args.eval_every and best["step"] >= 0:
+                print(f"best eval l1 {best['l1']:.5f} at step "
+                      f"{best['step']} -> {args.ckpt}.best",
+                      file=sys.stderr)
 
     if args.export_ggml:
         from ..params.ggml import write_ggml

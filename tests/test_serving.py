@@ -53,3 +53,93 @@ def test_export_program_roundtrip(tmp_path):
     import jax
     ref = np.asarray(jax.jit(sess._segment_fn)(sess.params, mix))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+_STANDALONE_RUNNER = '''\
+"""Standalone artifact runner: deserializes and executes exported
+StableHLO with NO demucs_tpu import — proving the blob is a complete,
+portable program (the analog of the reference WASM port running
+out-of-tree, src_wasm/demucs.cpp:70-171)."""
+import pickle
+import sys
+
+import numpy as np
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+from jax import export as jexport
+
+blob = open("segment.bin", "rb").read()
+params = pickle.load(open("params.pkl", "rb"))
+data = np.load("io.npz")
+
+fn = jexport.deserialize(blob).call
+out = np.asarray(fn(params, data["mix"]))
+np.testing.assert_allclose(out, data["ref"], atol=1e-5)
+
+tblob = open("track.bin", "rb").read()
+tfn = jexport.deserialize(tblob).call
+tout = np.asarray(tfn(params, data["track"],
+                      np.asarray(data["n_true"], np.int32)))
+np.testing.assert_allclose(tout, data["track_ref"], atol=1e-5)
+
+assert not any(m.startswith("demucs_tpu") for m in sys.modules), \\
+    sorted(m for m in sys.modules if m.startswith("demucs_tpu"))
+print("STANDALONE_OK")
+'''
+
+
+def test_export_standalone_subprocess(tmp_path):
+    """Both exported artifacts (segment graph AND the fused whole-track
+    serving program) must deserialize and run in a clean subprocess
+    that never imports demucs_tpu, matching the in-process outputs."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+
+    import jax
+
+    sess = DemixSession(_model_bytes(tmp_path))
+    rng = np.random.default_rng(3)
+
+    # segment-graph artifact + in-process reference
+    blob = sess.export_program(batch_size=1, segment_samples=16384)
+    mix = (rng.standard_normal((1, 2, 16384)) * 0.2).astype(np.float32)
+    ref = np.asarray(jax.jit(sess._segment_fn)(sess.params, mix))
+
+    # fused whole-track artifact: stems of the padded NORMALIZED track
+    N = 20000
+    tblob = sess.export_track_program(N, batch_size=2,
+                                      segment_samples=16384)
+    opts = ApplyOptions(segment_samples=16384, batch_size=2,
+                        fused_track=True, max_shift_secs=0.0,
+                        shift_offset=0)
+    sep = sess._separator(opts)
+    stride = int((1 - opts.overlap) * 16384)
+    import math
+    Lp = math.ceil(N / stride) * stride
+    track = (rng.standard_normal((2, N)) * 0.2).astype(np.float32)
+    mono = track.mean(0)
+    norm = ((track - mono.mean()) / max(mono.std(ddof=1), 1e-8))
+    padded = np.pad(norm, ((0, 0), (0, Lp - N))).astype(np.float32)
+    tfn = sep._fused_track_fn(math.ceil(N / stride), Lp)
+    track_ref = np.asarray(tfn(sess.params, padded, np.int32(N)))
+
+    host_params = jax.tree.map(np.asarray, sess.params)
+    (tmp_path / "segment.bin").write_bytes(blob)
+    (tmp_path / "track.bin").write_bytes(tblob)
+    with open(tmp_path / "params.pkl", "wb") as f:
+        pickle.dump(host_params, f)
+    np.savez(tmp_path / "io.npz", mix=mix, ref=ref, track=padded,
+             n_true=N, track_ref=track_ref)
+    (tmp_path / "run.py").write_text(_STANDALONE_RUNNER)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_DEFAULT_MATMUL_PRECISION="highest")
+    env.pop("PYTHONPATH", None)  # no accidental demucs_tpu on the path
+    proc = subprocess.run([sys.executable, "run.py"], cwd=tmp_path,
+                          env=env, capture_output=True, text=True,
+                          timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "STANDALONE_OK" in proc.stdout

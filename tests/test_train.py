@@ -2,6 +2,7 @@
 inference-only — SURVEY.md §1). Tiny configs on the CPU mesh."""
 
 import dataclasses
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -268,6 +269,43 @@ def test_train_cli_synthetic_smoke(tmp_path, capsys):
                      "--resume", "--log-every", "1"])
     assert rc == 0
     assert "resumed at step 3" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_train_cli_eval_loop(tmp_path, capsys):
+    """--eval-every: held-out L1 (+SDR) curve on the EMA weights, a
+    CKPT.eval.jsonl series, and a best-so-far checkpoint (VERDICT r4
+    #5: a long run must produce rankable checkpoints)."""
+    import json
+
+    from demucs_tpu.tools.train_cli import main as train_main
+
+    ck = str(tmp_path / "ck")
+    rc = train_main(["--synthetic", "--steps", "4", "--batch", "1",
+                     "--segment-samples", "8192", "--log-every", "1",
+                     "--ckpt", ck, "--save-every", "100",
+                     "--ema", "0.9", "--eval-every", "2", "--eval-sdr"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "eval @ step 2" in err and "eval @ step 4" in err
+    recs = [json.loads(line) for line in
+            Path(ck + ".eval.jsonl").read_text().splitlines()]
+    assert [r["step"] for r in recs] == [2, 4]
+    assert all(r["weights"] == "ema" for r in recs)
+    assert all(np.isfinite(r["l1"]) for r in recs)
+    assert all("drums" in r["sdr"] for r in recs)
+    assert recs[0].get("best")  # first eval always improves on +inf
+
+    # the best checkpoint is a complete, loadable train state (EMA in)
+    import optax
+
+    from demucs_tpu import params as P2
+    from demucs_tpu.config import HTDEMUCS_4S as CFG
+    from demucs_tpu.train import load_train_state
+
+    like = P2.unflatten_tree(P2.init_flat(P2.htdemucs_schema(CFG), seed=0))
+    p, o, s, ema = load_train_state(ck + ".best", like, optax.adam(3e-4))
+    assert s in (2, 4) and ema is not None
 
 
 @pytest.mark.slow
