@@ -16,6 +16,7 @@ Weight layouts follow PyTorch state dicts:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,22 @@ from jax import lax
 
 _DN1 = ("NCH", "OIH", "NCH")
 _DN2 = ("NCHW", "OIHW", "NCHW")
+
+# Hand-written conv VJP gates (r5): autodiff of the shifted-slice
+# einsum lowerings transposes each tap's slice into pad+scatter-add
+# chains and lets XLA pick cotangent layouts — the ~13 ms conv-backward
+# copy bucket in the r4 train profile (docs/PROFILE_r4.md §11). The
+# hand VJPs below express dx as the same slice-einsum family
+# (correlation with channel-transposed, tap-flipped weights: ONE pad of
+# the cotangent, K in-place slice reads) and dw as K tap GEMMs, so the
+# backward inherits the forward's e2e-adjudicated layouts.
+# Defaults OFF until the r5 on-chip e2e A/B adjudicates each flag (the
+# r2/r3 rule: isolated wins often lose e2e — docs/PROFILE_r5.md).
+TAP_BWD = os.environ.get("DT_TAP_BWD", "0") == "1"
+CHUNK_BWD = os.environ.get("DT_CHUNK_BWD", "0") == "1"
+CONVTR_BWD = os.environ.get("DT_CONVTR_BWD", "0") == "1"
+FMAJOR_BWD = os.environ.get("DT_FMAJOR_BWD", "0") == "1"
+FCONVTR_BWD = os.environ.get("DT_FCONVTR_BWD", "0") == "1"
 
 
 def _bias(y: jnp.ndarray, b: jnp.ndarray | None, spatial: int) -> jnp.ndarray:
@@ -89,6 +106,94 @@ def _tap_conv(x: jnp.ndarray, w: jnp.ndarray, padding: int,
     return y
 
 
+def _tap_conv_hand(x, w, padding: int, dilation: int):
+    """_tap_conv with a hand-written VJP (3D x only): dx is the K-tap
+    shifted-slice correlation with the channel-transposed, tap-flipped
+    kernel (itself a _tap_conv — one pad of g, K slice reads), dw is K
+    tap GEMMs contracting (batch, time). Autodiff instead scatter-adds
+    each tap's slice cotangent through pad chains in XLA-chosen layouts
+    (the r4 conv-bwd copy bucket)."""
+
+    @jax.custom_vjp
+    def run(x, w):
+        return _tap_conv(x, w, padding, dilation)
+
+    def fwd(x, w):
+        return _tap_conv(x, w, padding, dilation), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        O, C, K = w.shape
+        d = dilation
+        T = x.shape[-1]
+        t_out = T + 2 * padding - d * (K - 1)
+        wt = jnp.transpose(w, (1, 0, 2))[:, :, ::-1]       # (C, O, K)
+        dxf = _tap_conv(g, wt, d * (K - 1), d)             # (..., C, T+2p)
+        dx = dxf[..., padding:padding + T] if padding else dxf
+        xp = (jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(padding, padding)])
+              if padding else x)
+        taps = []
+        for j in range(K):
+            xs = lax.slice_in_dim(xp, j * d, j * d + t_out, axis=x.ndim - 1)
+            taps.append(jnp.einsum("bct,bxt->xc", xs, g,
+                                   preferred_element_type=jnp.float32))
+        dw = jnp.stack(taps, axis=-1).astype(w.dtype)
+        return dx.astype(x.dtype), dw
+
+    run.defvjp(fwd, bwd)
+    return run(x, w)
+
+
+def _chunked_strided_conv_hand(x, w, stride: int, padding: int):
+    """_chunked_strided_conv with a hand-written VJP (3D x only): dx is
+    an r-tap shifted-slice einsum on the CHUNK axis of the padded
+    cotangent (the transposed conv of a stride|K conv is itself a
+    chunked form), dw is r tap GEMMs."""
+
+    @jax.custom_vjp
+    def run(x, w):
+        return _chunked_strided_conv(x, w, stride, padding)
+
+    def fwd(x, w):
+        return _chunked_strided_conv(x, w, stride, padding), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        O, C, K = w.shape
+        s = stride
+        r = K // s
+        L = x.shape[-1]
+        lp = L + 2 * padding
+        n_out = (lp - K) // s + 1
+        chunks = -(-lp // s)
+        pad_extra = chunks * s - lp
+        wr = w.reshape(O, C, r, s)
+        # dxr[b, c, m, p] = sum_j g[b, o, m - j] * w[o, c, j*s + p]
+        gp = jnp.pad(g, [(0, 0)] * (g.ndim - 1)
+                     + [(r - 1, chunks - n_out)])
+        y = None
+        for jj in range(r):
+            gs = lax.slice_in_dim(gp, jj, jj + chunks, axis=g.ndim - 1)
+            wj = wr[:, :, r - 1 - jj, :]                   # (O, C, s)
+            t = jnp.einsum("bom,ocp->bcmp", gs, wj.astype(g.dtype))
+            y = t if y is None else y + t
+        dxp = y.reshape(*y.shape[:-2], chunks * s)
+        dx = dxp[..., padding:padding + L]
+        # dw[o, c, j*s + p] = sum_{b, m} xr[b, c, m + j, p] g[b, o, m]
+        pads = [(0, 0)] * (x.ndim - 1) + [(padding, padding + pad_extra)]
+        xr = jnp.pad(x, pads).reshape(*x.shape[:-1], chunks, s)
+        parts = []
+        for j in range(r):
+            xs = lax.slice_in_dim(xr, j, j + n_out, axis=xr.ndim - 2)
+            parts.append(jnp.einsum("bcmp,bom->ocp", xs, g,
+                                    preferred_element_type=jnp.float32))
+        dw = jnp.concatenate(parts, axis=-1).astype(w.dtype)
+        return dx.astype(x.dtype), dw
+
+    run.defvjp(fwd, bwd)
+    return run(x, w)
+
+
 def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
            stride: int = 1, padding: int = 0, dilation: int = 1,
            groups: int = 1) -> jnp.ndarray:
@@ -106,8 +211,13 @@ def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
                 dimension_numbers=lax.conv_dimension_numbers(
                     x.shape, w.shape, _DN1))
             return _bias(y, b, 1)
+        if TAP_BWD and k > 1 and x.ndim == 3:
+            return _bias(_tap_conv_hand(x, w, padding, dilation), b, 1)
         return _bias(_tap_conv(x, w, padding, dilation), b, 1)
     if (stride > 1 and k % stride == 0 and dilation == 1 and groups == 1):
+        if CHUNK_BWD and x.ndim == 3:
+            return _bias(_chunked_strided_conv_hand(x, w, stride, padding),
+                         b, 1)
         return _bias(_chunked_strided_conv(x, w, stride, padding), b, 1)
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype),
@@ -172,14 +282,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
 # views, targeting copy.610's ~1.0 ms pre-GEMM relayout) measured
 # NEGATIVE e2e on chip: 710.9 vs 724.8 audio-s/s (round 3 A/B) — the
 # r*s small contractions cost more than the relayout they avoid.
-def freq_conv_fmajor(x: jnp.ndarray, w: jnp.ndarray,
-                     b: jnp.ndarray | None = None, stride: int = 4,
-                     padding: int = 2) -> jnp.ndarray:
-    """Strided (KH, 1) freq conv on (B, F, C, T); w: (O, I, KH, 1).
-
-    Same math as conv2d's chunked-einsum fast path, with the chunking
-    on the major F axis (stride must divide KH).
-    """
+def _freq_conv_fmajor_body(x, w, stride: int, padding: int):
     O, I, kh, kw = w.shape
     assert kw == 1 and kh % stride == 0
     r = kh // stride
@@ -196,6 +299,71 @@ def freq_conv_fmajor(x: jnp.ndarray, w: jnp.ndarray,
         wj = w[:, :, j * stride:(j + 1) * stride, 0]     # (O, I, s)
         t = jnp.einsum("bopct,xcp->boxt", xs, wj.astype(x.dtype))
         y = t if y is None else y + t
+    return y
+
+
+def _freq_conv_fmajor_hand(x, w, stride: int, padding: int):
+    """freq_conv_fmajor with a hand-written VJP: same r-tap
+    shifted-slice structure on the MAJOR F axis for dx (one pad of g,
+    r slice reads; the minor (C, T) layout never moves), r tap GEMMs
+    for dw."""
+
+    @jax.custom_vjp
+    def run(x, w):
+        return _freq_conv_fmajor_body(x, w, stride, padding)
+
+    def fwd(x, w):
+        return _freq_conv_fmajor_body(x, w, stride, padding), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        O, I, kh, _ = w.shape
+        s = stride
+        r = kh // s
+        B, F, C, T = x.shape
+        lp = F + 2 * padding
+        n_out = (lp - kh) // s + 1
+        chunks = -(-lp // s)
+        pad_extra = chunks * s - lp
+        wr = w[:, :, :, 0].reshape(O, I, r, s)
+        # dxr[b, m, p, c, t] = sum_j g[b, m - j, o, t] wr[o, c, j, p]
+        gp = jnp.pad(g, [(0, 0), (r - 1, chunks - n_out), (0, 0), (0, 0)])
+        y = None
+        for jj in range(r):
+            gs = lax.slice_in_dim(gp, jj, jj + chunks, axis=1)
+            wj = wr[:, :, r - 1 - jj, :]                 # (O, I, s)
+            t = jnp.einsum("bmxt,xcp->bmpct", gs, wj.astype(g.dtype))
+            y = t if y is None else y + t
+        dxp = y.reshape(B, chunks * s, C, T)
+        dx = dxp[:, padding:padding + F]
+        # dwr[x, c, j, p] = sum_{b,m,t} xr[b, m + j, p, c, t] g[b, m, x, t]
+        xp = jnp.pad(x, [(0, 0), (padding, padding + pad_extra),
+                         (0, 0), (0, 0)])
+        xr = xp.reshape(B, chunks, s, C, T)
+        parts = []
+        for j in range(r):
+            xs = lax.slice_in_dim(xr, j, j + n_out, axis=1)
+            parts.append(jnp.einsum("bmpct,bmxt->xcp", xs, g,
+                                    preferred_element_type=jnp.float32))
+        dw = jnp.concatenate(parts, axis=-1)[..., None].astype(w.dtype)
+        return dx.astype(x.dtype), dw
+
+    run.defvjp(fwd, bwd)
+    return run(x, w)
+
+
+def freq_conv_fmajor(x: jnp.ndarray, w: jnp.ndarray,
+                     b: jnp.ndarray | None = None, stride: int = 4,
+                     padding: int = 2) -> jnp.ndarray:
+    """Strided (KH, 1) freq conv on (B, F, C, T); w: (O, I, KH, 1).
+
+    Same math as conv2d's chunked-einsum fast path, with the chunking
+    on the major F axis (stride must divide KH).
+    """
+    if FMAJOR_BWD:
+        y = _freq_conv_fmajor_hand(x, w, stride, padding)
+    else:
+        y = _freq_conv_fmajor_body(x, w, stride, padding)
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 
@@ -227,16 +395,7 @@ def freq_conv3x3_fmajor(x: jnp.ndarray, w: jnp.ndarray,
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 
-def freq_convtr_fmajor(x: jnp.ndarray, w: jnp.ndarray,
-                       b: jnp.ndarray | None = None, stride: int = 4,
-                       padding: int = 0) -> jnp.ndarray:
-    """(KH, 1) transposed conv on (B, F, C, T); w: (I, O, KH, 1).
-
-    Phase decomposition along F: the per-phase einsum produces
-    (B, F', O, s, T) and the interleave reshapes MAJOR axes only, so
-    the minor (T) layout survives untouched (the channel-major
-    interleave costs ~1-2 ms in tiled copies per decoder layer).
-    """
+def _freq_convtr_fmajor_body(x, w, stride: int, padding: int):
     I, O, kh, kw = w.shape
     assert kw == 1 and kh % stride == 0
     r = kh // stride
@@ -256,6 +415,72 @@ def freq_convtr_fmajor(x: jnp.ndarray, w: jnp.ndarray,
     y = y.reshape(B, n_out * stride, O, T)[:, :raw]
     if padding:
         y = y[:, padding:raw - padding]
+    return y
+
+
+def _freq_convtr_fmajor_hand(x, w, stride: int, padding: int):
+    """freq_convtr_fmajor with a hand-written VJP: dx is r tap
+    slice-einsums of the phase-folded cotangent (all MAJOR-axis moves —
+    the minor (O/C, T) layout never changes), dw r tap GEMMs."""
+
+    @jax.custom_vjp
+    def run(x, w):
+        return _freq_convtr_fmajor_body(x, w, stride, padding)
+
+    def fwd(x, w):
+        return _freq_convtr_fmajor_body(x, w, stride, padding), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        I, O, kh, _ = w.shape
+        s = stride
+        r = kh // s
+        B, F, C, T = x.shape
+        n_out = F + r - 1
+        raw = (F - 1) * s + kh
+        wp = w[:, :, :, 0].reshape(I, O, r, s)[:, :, ::-1, :]
+        # un-slice + un-reshape the cotangent back to phase-major:
+        # g (B, raw - 2p, O, T) -> g3 (B, n_out, s, O, T)
+        g2 = jnp.pad(g, [(0, 0), (padding, n_out * s - raw + padding),
+                         (0, 0), (0, 0)])
+        g3 = g2.reshape(B, n_out, s, O, T)
+        # dx[b, f] = sum_j g3[b, f + (r-1) - j] . wp[:, :, j] — indices
+        # always in range, no extra pad needed
+        dx = None
+        for j in range(r):
+            gs = lax.slice_in_dim(g3, r - 1 - j, r - 1 - j + F, axis=1)
+            t = jnp.einsum("bmpot,cop->bmct", gs,
+                           wp[:, :, j, :].astype(g.dtype))
+            dx = t if dx is None else dx + t
+        # dwp[c, o, j, p] = sum_{b,m,t} xp[b, m + j, c, t] g3[b, m, p, o, t]
+        xp = jnp.pad(x, [(0, 0), (r - 1, r - 1), (0, 0), (0, 0)])
+        parts = []
+        for j in range(r):
+            xs = lax.slice_in_dim(xp, j, j + n_out, axis=1)
+            parts.append(jnp.einsum("bmct,bmpot->cop", xs, g3,
+                                    preferred_element_type=jnp.float32))
+        dwp = jnp.stack(parts, axis=2)                 # (I, O, r, s)
+        dw = dwp[:, :, ::-1, :].reshape(I, O, kh)[..., None].astype(w.dtype)
+        return dx.astype(x.dtype), dw
+
+    run.defvjp(fwd, bwd)
+    return run(x, w)
+
+
+def freq_convtr_fmajor(x: jnp.ndarray, w: jnp.ndarray,
+                       b: jnp.ndarray | None = None, stride: int = 4,
+                       padding: int = 0) -> jnp.ndarray:
+    """(KH, 1) transposed conv on (B, F, C, T); w: (I, O, KH, 1).
+
+    Phase decomposition along F: the per-phase einsum produces
+    (B, F', O, s, T) and the interleave reshapes MAJOR axes only, so
+    the minor (T) layout survives untouched (the channel-major
+    interleave costs ~1-2 ms in tiled copies per decoder layer).
+    """
+    if FCONVTR_BWD:
+        y = _freq_convtr_fmajor_hand(x, w, stride, padding)
+    else:
+        y = _freq_convtr_fmajor_body(x, w, stride, padding)
     return y if b is None else y + b.reshape(1, 1, -1, 1)
 
 
@@ -340,6 +565,62 @@ def conv_transpose1d_blocked(x: jnp.ndarray, w: jnp.ndarray,
     return _bias(y, b, 1)
 
 
+def _convtr_phase_fwd(x, w, stride: int, padding: int):
+    """Phase-decomposed ConvTranspose1d body (stride | K)."""
+    k = w.shape[-1]
+    T = x.shape[-1]
+    r = k // stride
+    wp = _phase_weights(w, stride).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, wp, (1,), [(r - 1, r - 1)],
+        dimension_numbers=lax.conv_dimension_numbers(
+            x.shape, wp.shape, _DN1))           # (B, O*s, T+r-1)
+    o_ch = w.shape[1]
+    raw = (T - 1) * stride + k
+    y = _interleave_phases(y, o_ch, stride, raw, T + r - 1)
+    return y[:, :, padding:raw - padding]
+
+
+def _convtr_phase_hand(x, w, stride: int, padding: int):
+    """Phase ConvTranspose1d with a hand-written VJP: dx is the
+    stride-chunked conv of the cotangent with the SAME kernel viewed as
+    a forward conv weight (the transpose of a conv_tr IS a strided
+    conv — routed through the adjudicated _chunked_strided_conv form),
+    dw is r*stride tap GEMMs on chunk views of the cotangent. Autodiff
+    instead transposes the interleave reshape (a size-`stride` minor
+    axis relayout) and the phase conv separately."""
+
+    @jax.custom_vjp
+    def run(x, w):
+        return _convtr_phase_fwd(x, w, stride, padding)
+
+    def fwd(x, w):
+        return _convtr_phase_fwd(x, w, stride, padding), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        I, O, K = w.shape
+        s = stride
+        r = K // s
+        Q = x.shape[-1]
+        # dx[c, q] = sum_{o,k} g[o, q*s + k - p] w[c, o, k]: exactly a
+        # stride-s conv of g with w as an (out=I, in=O, K) conv weight
+        dx = _chunked_strided_conv(g, w, s, padding)
+        # dw[c, o, j*s + ph] = sum_{b,q} x[b, c, q] gr[b, o, q + j, ph]
+        gp = jnp.pad(g, [(0, 0)] * (g.ndim - 1) + [(padding, padding)])
+        gr = gp.reshape(*gp.shape[:-1], Q + r - 1, s)
+        parts = []
+        for j in range(r):
+            gs = lax.slice_in_dim(gr, j, j + Q, axis=gr.ndim - 2)
+            parts.append(jnp.einsum("bcq,boqp->cop", x, gs,
+                                    preferred_element_type=jnp.float32))
+        dw = jnp.concatenate(parts, axis=-1).astype(w.dtype)
+        return dx.astype(x.dtype), dw
+
+    run.defvjp(fwd, bwd)
+    return run(x, w)
+
+
 def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
                      b: jnp.ndarray | None = None, stride: int = 1,
                      padding: int = 0) -> jnp.ndarray:
@@ -354,17 +635,9 @@ def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
     k = w.shape[-1]
     T = x.shape[-1]
     if stride > 1 and k % stride == 0:
-        r = k // stride
-        wp = _phase_weights(w, stride).astype(x.dtype)
-        y = lax.conv_general_dilated(
-            x, wp, (1,), [(r - 1, r - 1)],
-            dimension_numbers=lax.conv_dimension_numbers(
-                x.shape, wp.shape, _DN1))           # (B, O*s, T+r-1)
-        o_ch = w.shape[1]
-        raw = (T - 1) * stride + k
-        y = _interleave_phases(y, o_ch, stride, raw, T + r - 1)
-        y = y[:, :, padding:raw - padding]
-        return _bias(y, b, 1)
+        if CONVTR_BWD:
+            return _bias(_convtr_phase_hand(x, w, stride, padding), b, 1)
+        return _bias(_convtr_phase_fwd(x, w, stride, padding), b, 1)
     w2 = jnp.flip(w, -1).swapaxes(0, 1)  # (O, I, K)
     y = lax.conv_general_dilated(
         x, w2.astype(x.dtype),
