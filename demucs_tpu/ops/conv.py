@@ -34,11 +34,17 @@ _DN2 = ("NCHW", "OIHW", "NCHW")
 # (correlation with channel-transposed, tap-flipped weights: ONE pad of
 # the cotangent, K in-place slice reads) and dw as K tap GEMMs, so the
 # backward inherits the forward's e2e-adjudicated layouts.
-# Defaults OFF until the r5 on-chip e2e A/B adjudicates each flag (the
-# r2/r3 rule: isolated wins often lose e2e — docs/PROFILE_r5.md).
+# r5 on-chip e2e A/B (batch 2 / remat off / bf16, baseline 258.8 and
+# 258.5 audio-s/s same window — docs/PROFILE_r5.md): only the phase
+# conv_tr VJP won (264.3, +2.1%) and is ON by default. The rest are
+# adjudicated negatives kept for re-testing if the graph shifts:
+# TAP 258.8 (exactly neutral), CHUNK 255.4 (-1.3%), FMAJOR 234.5
+# (-9.4% — XLA's transpose of the F-major slice einsums already picks
+# better layouts than the hand correlation), FCONVTR 254.0 (-1.9%),
+# all five ON 262.9 (the losers eat most of the conv_tr win).
 TAP_BWD = os.environ.get("DT_TAP_BWD", "0") == "1"
 CHUNK_BWD = os.environ.get("DT_CHUNK_BWD", "0") == "1"
-CONVTR_BWD = os.environ.get("DT_CONVTR_BWD", "0") == "1"
+CONVTR_BWD = os.environ.get("DT_CONVTR_BWD", "1") == "1"
 FMAJOR_BWD = os.environ.get("DT_FMAJOR_BWD", "0") == "1"
 FCONVTR_BWD = os.environ.get("DT_FCONVTR_BWD", "0") == "1"
 
