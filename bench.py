@@ -35,7 +35,15 @@ def main():
     params = P.unflatten_tree(P.init_flat(P.htdemucs_schema(cfg)))
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    batch = 8 if on_tpu else 1
+    import os
+
+    # batch 1 is the measured-fastest dispatch size (r5 fence-amortized
+    # sweep, docs/PROFILE_r5.md: 983 / 968 / 818 / 754 audio-s/s at
+    # batch 1/2/4/8 — below batch 8 the per-layer activations stay
+    # VMEM-resident, the same cliff mechanism as the r3 batch-16 spill,
+    # measured downward for the first time). Real pipelines dispatch
+    # segment calls back-to-back exactly like this loop.
+    batch = int(os.environ.get("DT_BENCH_BATCH", "1")) if on_tpu else 1
     seg = SEGMENT_SAMPLES if on_tpu else 65536
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
@@ -46,12 +54,15 @@ def main():
     # Reduce to a scalar on device; fetch only the LAST result. On the
     # tunneled platform block_until_ready() returns early and every host
     # fetch costs a ~37 ms roundtrip, so the honest protocol is: dispatch
-    # N in-order steps, fence once at the end, amortize.
+    # N in-order steps, fence once at the end, amortize — with iters
+    # scaled by 1/batch so the timed window stays >~1.3 s and the fence
+    # (~37 ms) adds <3% regardless of batch (at batch 1 a 10-iter
+    # window is 94 ms and the fence alone would eat 28%).
     fn = jax.jit(lambda p, m: htdemucs_segment(p, m, cfg)
                  .astype(jnp.float32).sum())
     float(fn(params, mix))  # compile + warm-up (fenced)
 
-    iters = 10 if on_tpu else 2
+    iters = (160 // batch if on_tpu else 2)
     rounds = 2 if on_tpu else 1  # best-of-2: the tunnel occasionally stalls
     dt = float("inf")
     for _ in range(rounds):

@@ -79,6 +79,17 @@ class ApplyOptions:
     #            (log-many compiles over all track lengths — the
     #            server default; see tools/serve.py --precompile)
     fused_buckets: str = "exact"
+    # Device sub-batch inside the fused whole-track program (the
+    # lax.map group size). None = batch_size. The r5 fence-amortized
+    # sweep (docs/PROFILE_r5.md) measured per-segment device rates of
+    # 983/968/818/754 audio-s/s at batch 1/2/4/8 — below batch 8 the
+    # per-layer activations stay VMEM-resident (the downward face of
+    # the r3 batch-16 spill cliff). Transfers are unaffected (still one
+    # upload/download per track), so direct-attached deployments should
+    # set 1-2; the default stays batch_size to keep compiled-program
+    # shapes stable on the link-bound tunnel where the delta is
+    # invisible end-to-end.
+    fused_sub_batch: int | None = None
 
     def with_segment(self, segment_samples: int | None) -> "ApplyOptions":
         """Copy with a shorter segment; the shift pad must stay well
@@ -390,11 +401,13 @@ class Separator:
         int16 = o.transfer_int16
         model = self._fused_model_call  # hook: mesh subclasses shard it
 
-        # cap the device batch at options.batch_size: long tracks would
-        # otherwise run one giant batch (batch ~16 already falls off a
-        # VMEM-residency cliff, docs/PROFILE_r3.md) — lax.map runs
-        # ceil(n/bs) sub-batches through ONE compiled body
-        bs = max(1, o.batch_size)
+        # cap the device batch at fused_sub_batch (default batch_size):
+        # long tracks would otherwise run one giant batch (batch ~16
+        # already falls off a VMEM-residency cliff, docs/PROFILE_r3.md;
+        # and small sub-batches are measurably FASTER per segment —
+        # docs/PROFILE_r5.md) — lax.map runs ceil(n/bs) sub-batches
+        # through ONE compiled body
+        bs = max(1, o.fused_sub_batch or o.batch_size)
         n_groups = -(-n_seg // bs)
 
         def fused(params, shifted, n_true):
