@@ -26,14 +26,17 @@ import time
 import numpy as np
 
 
-def family_bench(batch: int = 8, iters: int = 8,
+def family_bench(batch: int = 1, iters: int = 8,
                  train_batch: int = 2, seg: int | None = None) -> dict:
-    """Measure every model family at its adopted serving config (bf16,
-    batch 8) plus a training step — one dict, machine-readable.
+    """Measure every model family at its adopted dispatch config (bf16,
+    batch 1 — the r5 fence-amortized sweep's winner, PROFILE_r5 §3a)
+    plus a training step — one dict, machine-readable.
 
-    Timing protocol (CLAUDE.md): dispatch `iters` steps back-to-back,
-    ONE host fetch at the end (block_until_ready returns early on the
-    tunneled TPU; only a host roundtrip fences)."""
+    Timing protocol (CLAUDE.md): dispatch N steps back-to-back, ONE
+    host fetch at the end (block_until_ready returns early on the
+    tunneled TPU; only a host roundtrip fences). N is scaled by
+    1/batch so the timed window stays long against the ~37 ms fence
+    (at batch 1 an 8-iter window would be fence-dominated)."""
     import jax
     import jax.numpy as jnp
 
@@ -45,6 +48,10 @@ def family_bench(batch: int = 8, iters: int = 8,
     seg = seg or SEGMENT_SAMPLES
     rng = np.random.default_rng(0)
     mix_host = (rng.standard_normal((batch, 2, seg)) * 0.1)
+    # fence amortization: keep the timed window >~1.2 s at any batch
+    # (full-segment runs only; CPU smoke tests pass a short seg)
+    if seg == SEGMENT_SAMPLES:
+        iters = max(iters, 128 // max(batch, 1))
     report = {"batch": batch, "iters": iters, "segment_samples": seg,
               "device": str(jax.devices()[0].device_kind
                             or jax.devices()[0].platform)}
@@ -118,7 +125,11 @@ def family_bench(batch: int = 8, iters: int = 8,
                                        remat=False,
                                        compute_dtype=jnp.bfloat16)
     opt_state = init_fn(tree)
-    mixt = jnp.asarray(mix_host[:train_batch], jnp.float32)
+    # NOT a slice of mix_host: with batch < train_batch that silently
+    # ran the train fwd/bwd at the smaller batch (refs broadcast the
+    # loss) and inflated the reported rate by train_batch/batch
+    mixt = jnp.asarray(rng.standard_normal((train_batch, 2, seg)) * 0.1,
+                       jnp.float32)
     refs = jnp.asarray((rng.standard_normal((train_batch, 4, 2, seg))
                         * 0.05), jnp.float32)
     p, s, loss = step_fn(tree, opt_state, mixt, refs)

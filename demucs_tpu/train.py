@@ -65,6 +65,12 @@ def l1_loss(params: dict, mix: jnp.ndarray, refs: jnp.ndarray,
     update stay f32 (the standard mixed-precision recipe; the cast is
     inside the differentiated function, so grads come back f32).
     """
+    if mix.shape[0] != refs.shape[0]:
+        # a mismatched batch would silently BROADCAST through the L1
+        # (running the model at the smaller batch) — caught live in a
+        # bench harness that under-reported the step by exactly B_r/B_m
+        raise ValueError(f"mix batch {mix.shape[0]} != refs batch "
+                         f"{refs.shape[0]}")
     fwd = _segment_fn_for(cfg)
     if remat:
         fwd = jax.checkpoint(fwd, policy=REMAT_POLICIES[remat_policy],
