@@ -125,15 +125,18 @@ def test_two_process_training_via_cli(tmp_path):
     assert ema1 is not None and ema2 is not None
     # tolerance note: Adam's g/sqrt(v) update is scale-free, so the
     # dp-reduction-order noise in tiny gradients is amplified to a
-    # visible fraction of one update step; gate at a tenth of the
-    # 2-step x lr=1e-3 update scale, not at float precision
+    # visible fraction of one update step on near-zero-gradient leaves
+    # (|update| -> lr regardless of |g|); gate at the 2-step x lr=1e-3
+    # update bound, not at float precision — the r5 conv_tr hand-VJP
+    # rounding shift pushed one dconv bias to 4.2e-4 under the old
+    # 2e-4 gate, exactly this mechanism
     flat1, flat2 = P.flatten_tree(p1), P.flatten_tree(p2)
     for k in list(flat1)[::7]:
         np.testing.assert_allclose(flat2[k], flat1[k], rtol=1e-2,
-                                   atol=2e-4, err_msg=k)
+                                   atol=1e-3, err_msg=k)
     e1, e2 = P.flatten_tree(ema1), P.flatten_tree(ema2)
     for k in list(e1)[::7]:
-        np.testing.assert_allclose(e2[k], e1[k], rtol=1e-2, atol=2e-4,
+        np.testing.assert_allclose(e2[k], e1[k], rtol=1e-2, atol=1e-3,
                                    err_msg=k)
 
 
