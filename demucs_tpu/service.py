@@ -90,8 +90,8 @@ class DeviceFeeder:
             return fut
         item = _SegItem(segs, fut)
         with self._cv:
-            if self._closed:
-                raise RuntimeError("DeviceFeeder is closed")
+            if self._closed or not self._thread.is_alive():
+                raise RuntimeError("DeviceFeeder is closed or dead")
             self._items.append(item)
             self._cv.notify()
         return fut
@@ -101,8 +101,8 @@ class DeviceFeeder:
         warmup); runs in FIFO order with the segment batches."""
         fut: Future = Future()
         with self._cv:
-            if self._closed:
-                raise RuntimeError("DeviceFeeder is closed")
+            if self._closed or not self._thread.is_alive():
+                raise RuntimeError("DeviceFeeder is closed or dead")
             self._items.append(_CallItem(fn, fut))
             self._cv.notify()
         return fut
