@@ -201,6 +201,35 @@ def test_sharded_train_step_keeps_flash(flash_interpret):
                                    atol=1e-3, err_msg=k)
 
 
+@pytest.mark.slow
+def test_flash_grads_under_remat(flash_interpret):
+    """jax.checkpoint over the segment graph with the flash custom_vjp
+    (partition-aware wrappers) inside: grads must equal the plain
+    no-remat einsum grads — the remat+flash combo the TPU train sweep
+    uses but CPU tests otherwise never trace."""
+    from demucs_tpu.train import l1_loss
+
+    cfg = dataclasses.replace(HTDEMUCS_4S, channels=8, bottom_channels=32,
+                              t_layers=3)
+    params = _params(cfg)
+    rng = np.random.default_rng(6)
+    mix = jnp.asarray((rng.standard_normal((1, 2, SEG)) * 0.1)
+                      .astype(np.float32))
+    refs = jnp.asarray((rng.standard_normal((1, cfg.num_sources, 2, SEG))
+                        * 0.05).astype(np.float32))
+
+    g_flash = jax.grad(
+        lambda p: l1_loss(p, mix, refs, cfg, remat=True))(params)
+    A.USE_FLASH = False
+    g_ref = jax.grad(
+        lambda p: l1_loss(p, mix, refs, cfg, remat=False))(params)
+    A.USE_FLASH = True
+    f1, f0 = PR.flatten_tree(g_flash), PR.flatten_tree(g_ref)
+    for k in f0:
+        np.testing.assert_allclose(np.asarray(f1[k]), np.asarray(f0[k]),
+                                   rtol=2e-4, atol=3e-6, err_msg=k)
+
+
 def test_bag_shard_map_keeps_flash(flash_interpret):
     """flash inside the bag shard_map local body (the single-process
     ensemble path) still traces and matches the einsum bag."""
