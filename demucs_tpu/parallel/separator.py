@@ -207,6 +207,12 @@ class ShardedSeparator(Separator):
                 up.shape, rep, lambda idx, _b=up: _b[idx])
         return jax.device_put(up, rep)
 
+    def _fused_auto_sub(self) -> int:
+        # the sub-batch must cover the dp axis, or every lax.map call
+        # pads its group up to a dp multiple (options.batch_size was
+        # already rounded up to dp in __init__)
+        return max(1, self.options.batch_size)
+
     def _fused_model_call(self, params, batch):
         dp = self.mesh.shape.get("dp", 1)
         pad = (-batch.shape[0]) % dp

@@ -80,15 +80,14 @@ class ApplyOptions:
     #            server default; see tools/serve.py --precompile)
     fused_buckets: str = "exact"
     # Device sub-batch inside the fused whole-track program (the
-    # lax.map group size). None = batch_size. The r5 fence-amortized
-    # sweep (docs/PROFILE_r5.md) measured per-segment device rates of
-    # 983/968/818/754 audio-s/s at batch 1/2/4/8 — below batch 8 the
-    # per-layer activations stay VMEM-resident (the downward face of
-    # the r3 batch-16 spill cliff). Transfers are unaffected (still one
-    # upload/download per track), so direct-attached deployments should
-    # set 1-2; the default stays batch_size to keep compiled-program
-    # shapes stable on the link-bound tunnel where the delta is
-    # invisible end-to-end.
+    # lax.map group size). None = auto: 2 on a single device (the r5
+    # measured optimum — the whole fused 30 s-track program runs 50.3
+    # vs 69.1 ms/track at sub-batch 8, +37%, because below batch ~4 the
+    # per-layer activations stay VMEM-resident; same mechanism as the
+    # batch-1 headline, docs/PROFILE_r5.md §3a), batch_size on mesh
+    # separators (the sub-batch must cover the dp axis or every
+    # lax.map call pads to a dp multiple). Transfers are unaffected
+    # (still one upload/download per track).
     fused_sub_batch: int | None = None
 
     def with_segment(self, segment_samples: int | None) -> "ApplyOptions":
@@ -401,13 +400,10 @@ class Separator:
         int16 = o.transfer_int16
         model = self._fused_model_call  # hook: mesh subclasses shard it
 
-        # cap the device batch at fused_sub_batch (default batch_size):
-        # long tracks would otherwise run one giant batch (batch ~16
-        # already falls off a VMEM-residency cliff, docs/PROFILE_r3.md;
-        # and small sub-batches are measurably FASTER per segment —
-        # docs/PROFILE_r5.md) — lax.map runs ceil(n/bs) sub-batches
-        # through ONE compiled body
-        bs = max(1, o.fused_sub_batch or o.batch_size)
+        # device sub-batch (see ApplyOptions.fused_sub_batch): small
+        # groups keep activations VMEM-resident; lax.map runs
+        # ceil(n/bs) sub-batches through ONE compiled body
+        bs = max(1, o.fused_sub_batch or self._fused_auto_sub())
         n_groups = -(-n_seg // bs)
 
         def fused(params, shifted, n_true):
@@ -466,6 +462,12 @@ class Separator:
                 and len(self._fused_cache) > self.fused_cache_limit):
             self._fused_cache.popitem(last=False)
         return fn
+
+    def _fused_auto_sub(self) -> int:
+        """Auto device sub-batch for the fused program: 2 on a single
+        device (measured optimum, docs/PROFILE_r5.md); mesh separators
+        override with their dp-covering batch_size."""
+        return max(1, min(2, self.options.batch_size))
 
     def _fused_model_call(self, params, batch):
         """Model invocation inside the fused whole-track program.
