@@ -150,3 +150,41 @@ class DemixSession:
         """Continuous batching across many tracks (one global segment
         batch; see pipeline.Separator.separate_many)."""
         return self._separator(options).separate_many(tracks, progress=progress)
+
+
+class BagDemixSession(DemixSession):
+    """Resident fine-tuned-ensemble session (reference premium config,
+    cli-apps/demucs_ft.cpp:136-241): four htdemucs_ft_* weight files,
+    per-stem selection, served through the same surface as
+    DemixSession — so the HTTP server / feeder / streaming paths work
+    for the ensemble unchanged. The device form is the unrolled
+    one-program bag (the measured-fastest, docs/bag_forms_micro.py)."""
+
+    def __init__(self, ft_dir: str | Path, dtype=None):
+        from .cli import _find_ft_models
+        from .models.bag import bag_select, stack_bag_params, \
+            unrolled_model_map
+
+        if dtype is None:
+            dtype = (jnp.bfloat16
+                     if jax.devices()[0].platform == "tpu" else np.float32)
+        paths = _find_ft_models(Path(ft_dir))
+        cfg = None
+        trees = []
+        for p in paths:
+            c, t = load_model_params(p, dtype=dtype)
+            cfg = cfg or c
+            trees.append(t)
+        self.cfg = cfg
+        self.params = jax.tree.map(jnp.asarray, stack_bag_params(trees))
+        single_fn = (hdemucs_v3_segment
+                     if isinstance(cfg, HDemucsV3Config)
+                     else htdemucs_segment)
+
+        def bag_fn(p, m, _cfg=cfg):
+            return bag_select(
+                unrolled_model_map(lambda pi: single_fn(pi, m, _cfg), p))
+
+        self._segment_fn = bag_fn
+        self._jitted = jax.jit(bag_fn)
+        self._separators = {}

@@ -225,9 +225,9 @@ def make_handler(session, options, feeder, max_body=MAX_BODY_BYTES):
     return Handler
 
 
-def make_server(model_path, port=0, segment_samples=None, batch=8,
+def make_server(model_path=None, port=0, segment_samples=None, batch=8,
                 transfer_int16=True, fused=True,
-                precompile_secs=(), fused_cache_limit=8):
+                precompile_secs=(), fused_cache_limit=8, ft_dir=None):
     """transfer_int16 (default ON for serving): stems cross the
     device->host link as int16 and the response WAVs are PCM16 —
     halves both transfers; quantization is ~69 dB under a typical stem
@@ -240,12 +240,18 @@ def make_server(model_path, port=0, segment_samples=None, batch=8,
     first request never pays a tunnel compile (minutes)."""
     from ..pipeline import ApplyOptions
     from ..service import DeviceFeeder
-    from ..serving import DemixSession
+    from ..serving import BagDemixSession, DemixSession
 
     from ..utils import enable_compile_cache
 
     enable_compile_cache()
-    session = DemixSession(model_path)
+    if (model_path is None) == (ft_dir is None):
+        raise ValueError("provide exactly one of model_path or ft_dir")
+    # ft_dir: serve the fine-tuned 4-model ensemble (per-stem select)
+    # through the exact same endpoints — reference premium config,
+    # cli-apps/demucs_ft.cpp:136-241
+    session = (BagDemixSession(ft_dir) if ft_dir
+               else DemixSession(model_path))
     options = ApplyOptions(batch_size=batch,
                            transfer_int16=transfer_int16,
                            fused_track=fused,
@@ -281,7 +287,12 @@ def make_server(model_path, port=0, segment_samples=None, batch=8,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="HTTP separation server")
-    ap.add_argument("model")
+    ap.add_argument("model", nargs="?",
+                    help="ggml weight file (or use --ft-dir)")
+    ap.add_argument("--ft-dir", default=None,
+                    help="directory with the 4 htdemucs_ft_* files: "
+                         "serve the fine-tuned ensemble (per-stem "
+                         "selection) through the same endpoints")
     ap.add_argument("--port", type=int, default=8642)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--segment-samples", type=int, default=None)
@@ -299,12 +310,15 @@ def main(argv=None) -> int:
                          "(e.g. 30,120,240) — avoids multi-minute "
                          "first-request compiles")
     args = ap.parse_args(argv)
+    if bool(args.model) == bool(args.ft_dir):
+        ap.error("provide exactly one of `model` or --ft-dir")
 
     srv = make_server(args.model, args.port, args.segment_samples, args.batch,
                       transfer_int16=not args.f32_transfer,
                       fused=not args.no_fused,
                       precompile_secs=[float(s) for s in
-                                       args.precompile.split(",") if s])
+                                       args.precompile.split(",") if s],
+                      ft_dir=args.ft_dir)
     print(f"listening on http://127.0.0.1:{srv.server_address[1]}",
           file=sys.stderr)
     try:

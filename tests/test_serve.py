@@ -188,6 +188,62 @@ def batched_server(tmp_path_factory):
     srv.shutdown()
 
 
+def test_ft_bag_server_roundtrip(tmp_path):
+    """--ft-dir serves the 4-model fine-tuned ensemble through the same
+    endpoints (reference premium config, demucs_ft.cpp:136-241):
+    /separate returns the per-stem-selected ensemble stems, /stream
+    works through the shared feeder with the bag program."""
+    import http.client
+
+    ftd = tmp_path / "ft"
+    ftd.mkdir()
+    for i, stem in enumerate(("drums", "bass", "other", "vocals")):
+        flat = P.init_flat(P.htdemucs_schema(HTDEMUCS_4S), seed=i)
+        write_ggml(ftd / f"htdemucs_ft_{stem}.bin", "htdemucs_4s", flat)
+
+    srv = make_server(ft_dir=str(ftd), port=0, segment_samples=16384,
+                      batch=2, fused=False)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        with urllib.request.urlopen(f"{url}/health", timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["sources"] == ["drums", "bass", "other", "vocals"]
+
+        rng = np.random.default_rng(13)
+        track = (rng.standard_normal((2, 20000)) * 0.2).astype(np.float32)
+        wav = tmp_path / "ft_in.wav"
+        audio.write_wav(wav, track)
+        req = urllib.request.Request(f"{url}/separate",
+                                     data=wav.read_bytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            blob = r.read()
+        with zipfile.ZipFile(io.BytesIO(blob)) as z:
+            names = sorted(z.namelist())
+        assert names == [f"target_{i}_{n}.wav" for i, n in enumerate(
+            ("drums", "bass", "other", "vocals"))]
+
+        # /stream drives the bag program through the feeder
+        host, port = srv.server_address
+        con = http.client.HTTPConnection(host, port, timeout=300)
+        con.putrequest("POST", "/stream")
+        con.putheader("Transfer-Encoding", "chunked")
+        con.endheaders()
+        frames = np.ascontiguousarray(track.T.astype("<f4"))
+        b = frames.tobytes()
+        con.send(b"%X\r\n" % len(b) + b + b"\r\n")
+        con.send(b"0\r\n\r\n")
+        resp = con.getresponse()
+        assert resp.status == 200
+        body = resp.read()
+        con.close()
+        got = np.frombuffer(body, "<f4").reshape(-1, 4, 2)
+        assert got.shape[0] == 20000 and np.isfinite(got).all()
+    finally:
+        srv.shutdown()
+
+
 def test_concurrent_separates_share_batches(batched_server, tmp_path):
     """N concurrent uploads: correct per-request stems AND the feeder
     assembled cross-request batches (fewer device calls than the
