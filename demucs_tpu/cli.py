@@ -160,8 +160,27 @@ def _run_stream(args) -> int:
             raise ValueError("--stream takes a single WAV, not a dir")
         track = audio.load_track(in_path)
         t0 = time.monotonic()
-        cfg, params = load_model_params(args.model)
-        fn = _segment_fn(cfg)
+        if args.ft_dir:
+            # streaming ensemble: the unrolled one-program bag is just
+            # another (params, mix) -> stems model fn for the stream
+            from .models.bag import bag_select, unrolled_model_map
+
+            paths = _find_ft_models(Path(args.ft_dir))
+            cfg = None
+            trees = []
+            for p in paths:
+                c, t = load_model_params(p)
+                cfg = cfg or c
+                trees.append(t)
+            params = stack_bag_params(trees)
+            single = _segment_fn(cfg)
+
+            def fn(p, m):
+                return bag_select(
+                    unrolled_model_map(lambda pi: single(pi, m), p))
+        else:
+            cfg, params = load_model_params(args.model)
+            fn = _segment_fn(cfg)
         dtype = jnp.bfloat16 if args.bf16 else None  # None = TPU default
         stream = StreamingSeparator(
             fn, params, cfg.num_sources,
@@ -315,8 +334,6 @@ def main(argv=None) -> int:
     if bool(args.model) == bool(args.ft_dir):
         ap.error("provide exactly one of `model` or --ft-dir")
     if args.stream:
-        if args.ft_dir:
-            ap.error("--stream drives a single model (not --ft-dir)")
         if args.fused or args.transfer_int16:
             ap.error("--stream has its own device path; drop "
                      "--fused/--transfer-int16")

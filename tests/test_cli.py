@@ -129,6 +129,30 @@ def test_cli_stream_mode(tmp_path):
         assert stem.shape == (2, 30000) and np.isfinite(stem).all()
 
 
+def test_cli_stream_ft_bag(tmp_path):
+    """--stream --ft-dir: the streaming surface drives the unrolled
+    one-program ensemble (per-stem select), matching the offline bag
+    run without the shift trick on the same audio."""
+    cfg = HTDEMUCS_4S
+    ftd = tmp_path / "ft"
+    ftd.mkdir()
+    for i, stem in enumerate(cfg.sources):
+        flat = P.init_flat(P.htdemucs_schema(cfg), seed=i)
+        write_ggml(ftd / f"htdemucs_ft_{stem}.bin", "htdemucs_4s", flat)
+    rng = np.random.default_rng(6)
+    wav = tmp_path / "in.wav"
+    audio.write_wav(wav, (rng.standard_normal((2, 24000)) * 0.2)
+                    .astype(np.float32))
+    outdir = tmp_path / "out"
+    rc = main(["--ft-dir", str(ftd), str(wav), str(outdir), "--stream",
+               "--stream-chunk-secs", "0.2", "--batch", "2",
+               "--segment-samples", "16384"])
+    assert rc == 0
+    for i, name in enumerate(cfg.sources):
+        stem, _ = audio.read_wav(outdir / f"target_{i}_{name}.wav")
+        assert stem.shape == (2, 24000) and np.isfinite(stem).all()
+
+
 def test_cli_arg_validation(tmp_path, capsys):
     wav = tmp_path / "in.wav"
     audio.write_wav(wav, np.zeros((2, 100), np.float32))
