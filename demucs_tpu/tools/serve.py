@@ -277,6 +277,16 @@ def make_server(model_path=None, port=0, segment_samples=None, batch=8,
     batch_sep = session._separator(
         dataclasses.replace(options, fused_track=False,
                             fused_buckets="exact"))
+    if not fused:
+        # every /separate request rides the batch program — compile it
+        # at startup, not inside the first request (minutes on a
+        # tunneled device). Fused servers skip this: their /separate
+        # path never uses it and /stream sessions may never arrive.
+        print("serve: precompiling the batched segment program ...",
+              file=sys.stderr)
+        zero = np.zeros((batch_sep.options.batch_size, 2,
+                         options.segment_samples), np.float32)
+        batch_sep._call_device(batch_sep._place(zero))
     feeder = DeviceFeeder(batch_sep)
     srv = ThreadingHTTPServer(("127.0.0.1", port),
                               make_handler(session, options, feeder))
