@@ -208,3 +208,45 @@ def test_sdpa_flash_vjp_matches_einsum_vjp():
         PA.INTERPRET = False
     for a, b in zip(g_ref, g_fl):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
+
+
+def test_pallas_bilstm_matches_scan():
+    """The VMEM-resident recurrence kernel == the lax.scan reference,
+    values and (via the custom_vjp's scan recompute) gradients."""
+    import demucs_tpu.ops.lstm as L
+    import demucs_tpu.ops.pallas.attention as PA
+
+    rng = np.random.default_rng(11)
+    B, T, C, H = 2, 37, 24, 16
+    layer = {
+        d: {
+            "weight_ih": jnp.asarray(
+                rng.standard_normal((4 * H, C)) * 0.2, jnp.float32),
+            "weight_hh": jnp.asarray(
+                rng.standard_normal((4 * H, H)) * 0.2, jnp.float32),
+            "bias_ih": jnp.asarray(rng.standard_normal(4 * H) * 0.1,
+                                   jnp.float32),
+            "bias_hh": jnp.asarray(rng.standard_normal(4 * H) * 0.1,
+                                   jnp.float32),
+        }
+        for d in ("forward", "reverse")
+    }
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+
+    old = L.USE_PALLAS
+    L.USE_PALLAS = False
+    try:
+        ref = np.asarray(L.bilstm(x, [layer]))
+        g_ref = jax.grad(lambda a: jnp.sum(jnp.abs(L.bilstm(a, [layer])))
+                         )(x)
+        L.USE_PALLAS = True
+        PA.INTERPRET = True
+        got = np.asarray(L.bilstm(x, [layer]))
+        g_got = jax.grad(lambda a: jnp.sum(jnp.abs(L.bilstm(a, [layer])))
+                         )(x)
+    finally:
+        L.USE_PALLAS = old
+        PA.INTERPRET = False
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=2e-5)
