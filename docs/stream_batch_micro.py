@@ -37,22 +37,30 @@ tree = jax.tree.map(
     lambda x: jnp.asarray(x, dtype),
     P.unflatten_tree(P.init_flat(P.htdemucs_schema(cfg), seed=0)))
 
-fn = jax.jit(lambda p, m: htdemucs_segment(p, m, cfg))
+fn = jax.jit(lambda p, m: htdemucs_segment(p, m, cfg)
+             .astype(jnp.float32).sum())
 rng = np.random.default_rng(0)
-N_DISPATCH = 16
+
+# iters scale with 1/batch so the timed window stays >1.3 s: the ~37 ms
+# host-fence otherwise dominates small-batch readings (a 16-dispatch
+# batch-1 window is 150 ms and reads ~20% slow — the first version of
+# this micro under-reported batch 1 at 833 vs the true 983)
+ITERS = {1: 170, 2: 90, 4: 45, 8: 20}
 
 print(f"{'batch':>5} {'ms/call':>9} {'ms/segment':>11} {'audio-s/s':>10}")
-for bs in (1, 2, 4, 8):
-    mix = jnp.asarray(rng.standard_normal((bs, 2, SEGMENT_SAMPLES)) * 0.1,
-                      jnp.float32)
-    out = fn(tree, mix)
-    float(out.sum())  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(N_DISPATCH):
-        out = fn(tree, mix)
-    float(out.sum())  # single fence for the whole chain
-    dt = (time.perf_counter() - t0) / N_DISPATCH
-    per_seg = dt / bs
-    rate = bs * SEGMENT_SAMPLES / 44100.0 / dt
-    print(f"{bs:>5} {dt * 1e3:>9.1f} {per_seg * 1e3:>11.1f} {rate:>10.1f}",
-          flush=True)
+for rep in range(3):
+    for bs in (1, 2, 4, 8):
+        mix = jnp.asarray(
+            rng.standard_normal((bs, 2, SEGMENT_SAMPLES)) * 0.1, dtype)
+        float(fn(tree, mix))  # compile + warm (cached after rep 0)
+        n = ITERS[bs]
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(tree, mix)
+        float(out)  # single fence for the whole chain
+        dt = (time.perf_counter() - t0) / n
+        per_seg = dt / bs
+        rate = bs * SEGMENT_SAMPLES / 44100.0 / dt
+        print(f"{bs:>5} {dt * 1e3:>9.1f} {per_seg * 1e3:>11.1f}"
+              f" {rate:>10.1f}", flush=True)

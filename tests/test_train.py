@@ -309,6 +309,34 @@ def test_train_cli_eval_loop(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_train_cli_eval_data_dir(tmp_path, capsys):
+    """--eval-data: held-out MUSDB-layout track dirs drive the eval
+    loop (the load path --synthetic eval skips)."""
+    from demucs_tpu import audio
+    from demucs_tpu.config import HTDEMUCS_4S
+    from demucs_tpu.tools.train_cli import main as train_main
+
+    rng = np.random.default_rng(8)
+    ev = tmp_path / "valid" / "track01"
+    ev.mkdir(parents=True)
+    for stem in HTDEMUCS_4S.sources:
+        audio.write_wav(ev / f"{stem}.wav",
+                        (rng.standard_normal((2, 20000)) * 0.1)
+                        .astype(np.float32))
+    ck = str(tmp_path / "ck")
+    rc = train_main(["--synthetic", "--steps", "2", "--batch", "1",
+                     "--segment-samples", "8192", "--log-every", "1",
+                     "--ckpt", ck, "--save-every", "100",
+                     "--eval-every", "2",
+                     "--eval-data", str(tmp_path / "valid")])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "eval set: 1 held-out track(s)" in err
+    assert "eval @ step 2" in err
+    assert Path(ck + ".eval.jsonl").exists()
+
+
+@pytest.mark.slow
 def test_train_cli_finetune_lineage(tmp_path, capsys):
     """The htdemucs_ft provenance workflow end-to-end: start from a
     converted ggml checkpoint (--init-from), train with EMA, checkpoint
