@@ -156,7 +156,7 @@ def test_stream_does_not_block_separate(server, server_url, tmp_path):
                     .astype(np.float32))
     req = urllib.request.Request(f"{server_url}/separate",
                                  data=wav.read_bytes(), method="POST")
-    with urllib.request.urlopen(req, timeout=120) as r:
+    with urllib.request.urlopen(req, timeout=300) as r:
         assert r.status == 200
 
     # finish the stream cleanly
